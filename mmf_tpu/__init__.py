@@ -1,0 +1,14 @@
+"""mmf_tpu: a TPU-native multimodal (vision+language) research framework.
+
+Capabilities mirror facebookresearch/mmf — registry-driven model/dataset
+zoos, config-driven training, multimodal processors, multi-dataset
+iteration, checkpoint/resume — rebuilt on JAX/XLA/Pallas/pjit: pure
+functional models (flax), one jitted SPMD train step over a device mesh,
+fused Pallas attention kernels on the hot path.
+"""
+
+__version__ = "0.1.0"
+
+from mmf_tpu.common.registry import registry  # noqa: F401
+
+__all__ = ["registry", "__version__"]

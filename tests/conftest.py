@@ -1,0 +1,26 @@
+"""Test harness: force an 8-virtual-device CPU platform so sharding and
+collective paths are exercised without TPU hardware (mirrors how the driver
+validates `dryrun_multichip`)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry_state():
+    """Keep registry `state` isolated between tests (mappings persist, the
+    hierarchical state store does not)."""
+    from mmf_tpu.common.registry import registry
+
+    saved = dict(registry.mapping["state"])
+    yield
+    registry.mapping["state"].clear()
+    registry.mapping["state"].update(saved)
