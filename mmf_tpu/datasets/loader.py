@@ -1,0 +1,174 @@
+"""Host-side data loading: the torch-DataLoader replacement.
+
+The reference leans on torch DataLoader worker processes + DistributedSampler
+(utils/build.py:264-397). Here: a map-style dataset is sharded per process,
+shuffled with an epoch-seeded RNG, batched through BatchCollator into
+fixed-shape SampleLists, and prefetched on a background thread so host
+preprocessing overlaps device compute (the MpDeviceLoader analog). drop_last
+is always on — constant shapes are what keep XLA from recompiling.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+from mmf_tpu.common.sample import SampleList
+
+
+class EpochSampler:
+    """Deterministic per-epoch shuffling + per-process sharding
+    (DistributedSampler analog)."""
+
+    def __init__(self, dataset_size: int, shuffle: bool = True, seed: int = 0,
+                 num_replicas: int = 1, rank: int = 0):
+        self.dataset_size = dataset_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(self.dataset_size)
+        else:
+            order = np.arange(self.dataset_size)
+        # shard: rank takes every num_replicas-th element
+        return iter(order[self.rank :: self.num_replicas].tolist())
+
+    def __len__(self) -> int:
+        return self.dataset_size // self.num_replicas
+
+
+class DataLoader:
+    """Batched iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        collate_fn: Optional[Callable] = None,
+        sampler: Optional[EpochSampler] = None,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn or (lambda b: SampleList(b))
+        if sampler is None:
+            sampler = EpochSampler(len(dataset), shuffle=shuffle, seed=seed)
+        self.sampler = sampler
+        self.drop_last = drop_last
+        self.num_workers = max(0, num_workers)
+        self.prefetch = prefetch
+        self.current_epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.current_epoch = epoch
+        self.sampler.set_epoch(epoch)
+
+    def _batches_of_indices(self):
+        batch = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def _load_batch(self, indices):
+        samples = [self.dataset[i] for i in indices]
+        return self.collate_fn(samples)
+
+    def __iter__(self):
+        if self.num_workers == 0 or self.prefetch == 0:
+            for indices in self._batches_of_indices():
+                yield self._load_batch(indices)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = []
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    futures = []
+                    for indices in self._batches_of_indices():
+                        futures.append(pool.submit(self._load_batch, indices))
+                        # bound in-flight futures
+                        while len(futures) >= self.prefetch:
+                            q.put(futures.pop(0).result())
+                    for f in futures:
+                        q.put(f.result())
+            except Exception as e:  # propagate to consumer
+                error_holder.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error_holder:
+            raise error_holder[0]
+
+
+def build_dataloader_and_sampler(dataset, training_config, dataset_type="train",
+                                 batch_size=None, seed=0):
+    """Reference utils/build.py:264-340 analog."""
+    from mmf_tpu.common.batch_collator import BatchCollator
+    from mmf_tpu.utils.distributed import get_rank, get_world_size
+
+    if batch_size is None:
+        from mmf_tpu.utils.general import get_batch_size
+
+        batch_size = get_batch_size()
+
+    shuffle = dataset_type == "train"
+    sampler = EpochSampler(
+        len(dataset),
+        shuffle=shuffle,
+        seed=seed,
+        num_replicas=get_world_size(),
+        rank=get_rank(),
+    )
+    collate = BatchCollator(
+        getattr(dataset, "dataset_name", "unknown"),
+        getattr(dataset, "dataset_type", dataset_type),
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        collate_fn=collate,
+        sampler=sampler,
+        drop_last=True,
+        num_workers=training_config.get("num_workers", 4),
+    )
+    loader.dataset_name = getattr(dataset, "dataset_name", "unknown")
+    loader.dataset_type = dataset_type
+    return loader, sampler

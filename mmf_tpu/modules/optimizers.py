@@ -47,8 +47,21 @@ _PARAM_RENAMES = {
 }
 
 
+def _coerce_numeric(v):
+    """YAML 1.1 parses '5e-05' (no dot) as a string; coerce such values."""
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    if isinstance(v, (list, tuple)):
+        return type(v)(_coerce_numeric(x) for x in v)
+    return v
+
+
 def _translate_params(opt_name: str, params: Dict[str, Any]) -> Dict[str, Any]:
     out = {}
+    params = {k: _coerce_numeric(v) for k, v in params.items()}
     for k, v in params.items():
         if k == "lr":
             out["learning_rate"] = v

@@ -1,0 +1,462 @@
+"""MMFTrainer: the default trainer.
+
+Reference counterpart: mmf/trainers/mmf_trainer.py:30-171 + the mixins in
+mmf/trainers/core/. The host loop here is thin by design — everything hot
+(forward, loss, backward, clip, lr schedule, optimizer, cross-device
+reduction, gradient accumulation) lives in ONE jitted SPMD step
+(trainers/core/train_state.py); the host only feeds sharded batches,
+reads back scalar reports at log intervals, and runs callbacks.
+
+Per-dataset jit cache: loss/metric key names embed dataset_name (string,
+static under trace), so steps are compiled once per (dataset, split)."""
+
+from __future__ import annotations
+
+import gc
+import logging
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from mmf_tpu.common.meter import Meter
+from mmf_tpu.common.registry import registry
+from mmf_tpu.common.report import Report
+from mmf_tpu.common.sample import SampleList
+from mmf_tpu.modules.metrics import Metrics
+from mmf_tpu.parallel import mesh as mesh_lib
+from mmf_tpu.trainers.base_trainer import BaseTrainer
+from mmf_tpu.trainers.callbacks.checkpoint import CheckpointCallback
+from mmf_tpu.trainers.callbacks.early_stopping import EarlyStoppingCallback
+from mmf_tpu.trainers.callbacks.logistics import LogisticsCallback
+from mmf_tpu.trainers.callbacks.lr_scheduler import LRSchedulerCallback
+from mmf_tpu.trainers.core.train_state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from mmf_tpu.utils.general import get_max_updates
+
+logger = logging.getLogger("mmf_tpu")
+
+
+@registry.register_trainer("mmf")
+class MMFTrainer(BaseTrainer):
+    def __init__(self, config):
+        super().__init__(config)
+        self.num_updates = 0
+        self.current_iteration = 0
+        self.current_epoch = 0
+        self.meter = Meter()
+        self.early_stop_callback = None
+        self.checkpoint_callback = None
+        self.current_lr = None
+        self._train_steps: Dict[Any, Any] = {}
+        self._eval_steps: Dict[Any, Any] = {}
+        self.train_state: Optional[TrainState] = None
+        self._nan_window = []
+
+    # ------------------------------------------------------------------
+    # load sequence
+    # ------------------------------------------------------------------
+    def load(self):
+        super().load()
+        self.on_init_start()
+        self.on_init_end()
+
+    def configure_device(self):
+        self.device_type = self.training_config.get("device", "tpu")
+        self.mesh = mesh_lib.build_mesh(self.config)
+        registry.register("current_device", self.device_type)
+        logger.info(
+            f"Mesh: {dict(self.mesh.shape)} over "
+            f"{jax.device_count()} device(s)"
+        )
+
+    def load_datasets(self):
+        logger.info("Loading datasets")
+        from mmf_tpu.datasets.multi_datamodule import MultiDataModule
+
+        self.dataset_loader = MultiDataModule(self.config)
+        self.train_loader = self.dataset_loader.train_dataloader()
+        self.val_loader = self.dataset_loader.val_dataloader()
+        self.test_loader = self.dataset_loader.test_dataloader()
+
+    def load_model(self):
+        logger.info("Loading model")
+        from mmf_tpu.models.base_model import build_model
+
+        self.model = build_model(self.config)
+        self.losses = self.model.build_losses()
+        self._rng = jax.random.PRNGKey(self.seed or 0)
+
+    def load_optimizer(self):
+        logger.info("Loading optimizer")
+        from mmf_tpu.modules.optimizers import build_optimizer_transform
+        from mmf_tpu.modules.schedulers import build_scheduler
+        from mmf_tpu.utils.general import clip_gradients_config
+
+        schedule_fn = build_scheduler(self.config)
+        max_grad_norm = clip_gradients_config(self.config)
+        self.tx = build_optimizer_transform(
+            self.config, schedule_fn=schedule_fn, max_grad_norm=max_grad_norm
+        )
+        self._schedule_fn = schedule_fn
+
+    def load_metrics(self):
+        metrics = self.config.get("evaluation", {}).get("metrics", []) or []
+        self.metrics = Metrics(metrics)
+        self.metrics_params = self.metrics.required_params
+
+    def configure_callbacks(self):
+        self.lr_scheduler_callback = LRSchedulerCallback(self.config, self)
+        self.checkpoint_callback = CheckpointCallback(self.config, self)
+        self.logistics_callback = LogisticsCallback(self.config, self)
+        self.early_stop_callback = EarlyStoppingCallback(self.config, self)
+
+        self.callbacks = [
+            self.lr_scheduler_callback,
+            self.checkpoint_callback,
+            self.logistics_callback,
+            self.early_stop_callback,
+        ]
+        # user callbacks from config (reference mmf_trainer.py:66-75)
+        for cb_cfg in self.training_config.get("callbacks", []) or []:
+            cb_cls = registry.get_callback_class(cb_cfg["type"])
+            assert cb_cls is not None, (
+                f"The callback {cb_cfg['type']} was not found in registry"
+            )
+            self.callbacks.append(
+                cb_cls(self.config, self, **(cb_cfg.get("params", {}) or {}))
+            )
+
+    # callback fan-out (reference core/callback_hook.py)
+    def _fire(self, hook: str, **kwargs):
+        for cb in getattr(self, "callbacks", []):
+            getattr(cb, hook)(**kwargs)
+
+    def on_init_start(self, **kw):
+        self._fire("on_init_start", **kw)
+
+    def on_init_end(self, **kw):
+        self._fire("on_init_end", **kw)
+
+    # ------------------------------------------------------------------
+    # state plumbing (used by Checkpoint)
+    # ------------------------------------------------------------------
+    def get_variables(self):
+        if self.train_state is not None:
+            return jax.device_get(self.train_state.variables)
+        return self._pending_variables
+
+    def set_variables(self, variables):
+        if self.train_state is not None:
+            self.train_state = self.train_state.replace(
+                variables=jax.device_put(
+                    variables, mesh_lib.replicated_sharding(self.mesh)
+                )
+            )
+        else:
+            self._pending_variables = variables
+
+    def get_opt_state(self):
+        if self.train_state is not None:
+            return jax.device_get(self.train_state.opt_state)
+        return None
+
+    def set_opt_state(self, opt_state):
+        if self.train_state is not None:
+            ref = jax.tree_util.tree_structure(self.train_state.opt_state)
+            leaves = jax.tree_util.tree_leaves(opt_state)
+            restored = jax.tree_util.tree_unflatten(ref, leaves)
+            self.train_state = self.train_state.replace(
+                opt_state=jax.device_put(
+                    restored, mesh_lib.replicated_sharding(self.mesh)
+                )
+            )
+        else:
+            self._pending_opt_state = opt_state
+
+    # ------------------------------------------------------------------
+    # lazy init + step compilation
+    # ------------------------------------------------------------------
+    _pending_variables = None
+    _pending_opt_state = None
+
+    def _ensure_state(self, batch: SampleList):
+        if self.train_state is not None:
+            return
+        pytree = batch.pytree()
+        meta = self._batch_meta(batch)
+        init_rng, dropout_rng, self._rng = jax.random.split(self._rng, 3)
+        batch_in = dict(pytree)
+        batch_in.update(meta)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": dropout_rng}, batch_in, False
+        )
+        variables = jax.device_get(variables)
+        if self._pending_variables is not None:
+            variables = self._pending_variables
+            self._pending_variables = None
+        variables = jax.device_put(
+            variables, mesh_lib.replicated_sharding(self.mesh)
+        )
+        n_params = sum(
+            np.prod(x.shape)
+            for x in jax.tree_util.tree_leaves(variables.get("params", {}))
+        )
+        logger.info(f"Model initialized: {int(n_params):,} parameters")
+        self.train_state = create_train_state(variables, self.tx, self._rng)
+        if self._pending_opt_state is not None:
+            self.set_opt_state(self._pending_opt_state)
+            self._pending_opt_state = None
+
+    @staticmethod
+    def _batch_meta(batch: SampleList) -> Dict[str, Any]:
+        meta = {}
+        if isinstance(batch, SampleList):
+            m = batch.meta()
+            for key in ("dataset_name", "dataset_type"):
+                if key in m:
+                    v = m[key]
+                    meta[key] = v[0] if isinstance(v, list) else v
+        return meta
+
+    def _mutable_collections(self):
+        if self.train_state is None:
+            return ()
+        return tuple(
+            k for k in self.train_state.variables.keys() if k != "params"
+        )
+
+    def _get_train_step(self, meta: Dict[str, Any]):
+        key = (meta.get("dataset_name", ""), "train")
+        if key not in self._train_steps:
+            uf = self.training_config.get("update_frequency", 1)
+            step = make_train_step(
+                self.model.apply,
+                self.losses,
+                self.tx,
+                update_frequency=uf,
+                mutable=self._mutable_collections(),
+                meta=meta,
+            )
+            self._train_steps[key] = jax.jit(step, donate_argnums=(0,))
+        return self._train_steps[key]
+
+    def _get_eval_step(self, meta: Dict[str, Any]):
+        key = (meta.get("dataset_name", ""), meta.get("dataset_type", "val"))
+        if key not in self._eval_steps:
+            step = make_eval_step(
+                lambda v, b, train: self.model.apply(v, b, train),
+                self.losses,
+                meta=meta,
+            )
+            self._eval_steps[key] = jax.jit(step)
+        return self._eval_steps[key]
+
+    # ------------------------------------------------------------------
+    # training loop (reference core/training_loop.py:21-246)
+    # ------------------------------------------------------------------
+    def train(self):
+        logger.info("===== Model =====")
+        logger.info(type(self.model).__name__)
+
+        if "train" in self.run_type:
+            self._fire("on_train_start")
+            self.training_loop()
+            self._fire("on_train_end")
+
+        self.inference()
+
+    @property
+    def max_updates(self):
+        return getattr(self, "_max_updates", None)
+
+    @property
+    def num_snapshot_iterations(self):
+        if self.val_loader is None:
+            return 0
+        try:
+            return len(self.val_loader)
+        except Exception:
+            return 0
+
+    def training_loop(self):
+        self._max_updates, self.max_epochs = get_max_updates(
+            self.training_config.get("max_updates", None),
+            self.training_config.get("max_epochs", None),
+            self.train_loader,
+            self.training_config.get("update_frequency", 1),
+        )
+        logger.info("Starting training...")
+        log_interval = self.training_config["log_interval"]
+        eval_interval = self.training_config["evaluation_interval"]
+        exit_on_nan = self.training_config.get("exit_on_nan_losses", True)
+        uf = self.training_config.get("update_frequency", 1)
+        should_break = False
+
+        while self.num_updates < self._max_updates and not should_break:
+            self.current_epoch += 1
+            registry.register("current_epoch", self.current_epoch)
+            if self.current_epoch > self.max_epochs + 1:
+                break
+            self.train_loader.seed_sampler(self.current_epoch)
+
+            pending_report = None
+            for batch in self.train_loader:
+                if self.num_updates >= self._max_updates:
+                    break
+                self._fire("on_update_start")
+
+                meta = self._batch_meta(batch)
+                self._ensure_state(batch)
+                device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
+                step_fn = self._get_train_step(meta)
+                self.train_state, report = step_fn(self.train_state, device_batch)
+
+                self.num_updates += 1
+                self.current_iteration += uf
+                registry.register("num_updates", self.num_updates)
+                registry.register("current_iteration", self.current_iteration)
+                pending_report = (report, meta, batch.get_batch_size())
+
+                should_log = self.num_updates % log_interval == 0
+                if should_log:
+                    self._consume_train_report(*pending_report,
+                                               exit_on_nan=exit_on_nan)
+                    pending_report = None
+                self._fire("on_update_end", meter=self.meter,
+                           should_log=should_log)
+
+                if self.num_updates % eval_interval == 0 and \
+                        self.val_loader is not None and len(self.val_loader) > 0:
+                    stop = self._run_validation()
+                    if stop:
+                        logger.info("Early stopping activated")
+                        should_break = True
+                        break
+            gc.collect()
+
+        logger.info(
+            f"Finished training: {self.num_updates}/{self._max_updates} "
+            f"updates, {self.current_epoch} epochs"
+        )
+
+    def _consume_train_report(self, report, meta, batch_size, exit_on_nan=True):
+        """Device->host sync point: pull scalars, feed the meter, NaN guard
+        (reference _check_nan_losses, training_loop.py:173-191)."""
+        losses = {k: np.asarray(v) for k, v in report["losses"].items()}
+        nan_flag = bool(np.asarray(report["nan_flag"]))
+        if nan_flag and exit_on_nan:
+            keys = ", ".join(losses.keys())
+            raise RuntimeError(
+                f"NaN occurred in the following loss(es): {keys}; exiting "
+                "the training"
+            )
+        host_report = Report.__new__(Report)
+        dict.__init__(host_report)
+        host_report["losses"] = losses
+        host_report.batch_size = batch_size
+        self.meter.update_from_report(host_report)
+
+    def _run_validation(self) -> bool:
+        self._fire("on_validation_start")
+        report, meter = self.evaluation_loop("val")
+        stop = self.early_stop_callback.on_validation_end(meter=meter)
+        self.logistics_callback.on_validation_end(meter=meter)
+        return bool(stop)
+
+    # ------------------------------------------------------------------
+    # evaluation (reference core/evaluation_loop.py:18-177)
+    # ------------------------------------------------------------------
+    def evaluation_loop(self, dataset_type: str, use_tqdm: bool = False,
+                        single_batch: bool = False):
+        loader = getattr(self, f"{dataset_type}_loader")
+        meter = Meter()
+        combined_report = None
+
+        for batch in loader:
+            meta = self._batch_meta(batch)
+            meta["dataset_type"] = dataset_type
+            self._ensure_state(batch)
+            device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
+            eval_fn = self._get_eval_step(meta)
+            output = eval_fn(self.train_state.variables, device_batch)
+
+            output = jax.device_get(output)
+            output["losses"] = {
+                k: np.asarray(v) for k, v in output["losses"].items()
+            }
+            report = Report(batch, output)
+            report = report.to_numpy()
+            meter.update_from_report(report)
+
+            moved_report = report
+            if combined_report is None:
+                combined_report = moved_report
+            else:
+                combined_report.accumulate_tensor_fields_and_loss(
+                    moved_report, self.metrics_params
+                )
+                combined_report.batch_size += moved_report.batch_size
+            if single_batch:
+                break
+
+        if combined_report is not None and len(self.metrics.metrics) > 0:
+            combined_report["dataset_name"] = meta.get("dataset_name", "unknown")
+            combined_report["dataset_type"] = dataset_type
+            combined_report.metrics = self.metrics(combined_report, combined_report)
+            meter.update_from_report(combined_report, should_update_loss=False)
+
+        return combined_report, meter
+
+    def prediction_loop(self, dataset_type: str):
+        """Generate a prediction report (reference evaluation_loop.py:112-142)."""
+        logger.info(f"Starting {dataset_type} inference predictions")
+        self._fire("on_prediction_start")
+        reporter = self.dataset_loader.get_test_reporter(dataset_type)
+        loader = getattr(self, f"{dataset_type}_loader")
+
+        while reporter.next_dataset():
+            for batch in loader:
+                meta = self._batch_meta(batch)
+                meta["dataset_type"] = dataset_type
+                self._ensure_state(batch)
+                device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
+                eval_fn = self._get_eval_step(meta)
+                output = jax.device_get(
+                    eval_fn(self.train_state.variables, device_batch)
+                )
+                report = Report(batch, output).to_numpy()
+                reporter.add_to_report(report, self.model)
+            reporter.flush_report()
+        self._fire("on_prediction_end")
+
+    def inference(self):
+        dataset_type = []
+        if "val" in self.run_type:
+            dataset_type.append("val")
+        if any(rt in self.run_type for rt in ["inference", "test", "predict"]):
+            dataset_type.append("test")
+
+        for dtype in dataset_type:
+            loader = getattr(self, f"{dtype}_loader", None)
+            if loader is None or len(loader) == 0:
+                continue
+            if self.config.get("evaluation", {}).get("predict", False):
+                self.prediction_loop(dtype)
+            else:
+                logger.info(f"Starting inference on {dtype} set")
+                report, meter = self.evaluation_loop(dtype)
+                if report is not None:
+                    self._fire("on_test_end", report=report, meter=meter)
+
+
+def build_trainer(config) -> BaseTrainer:
+    """(reference utils/build.py:56-71)"""
+    trainer_type = config["training"]["trainer"]
+    trainer_cls = registry.get_trainer_class(trainer_type)
+    trainer_obj = trainer_cls(config)
+    return trainer_obj

