@@ -1,0 +1,279 @@
+"""Shared transformer trunk (BERT-family) in flax.
+
+This is the single encoder implementation behind VisualBERT, MMBT, ViLT,
+M4C's MMT, the mmf_transformer backend, and the text side of ViLBERT —
+replacing the reference's TorchScript BERT rewrites
+(mmf/modules/hf_layers.py:96-477). Attention goes through
+mmf_tpu.ops.dot_product_attention (XLA fused / Pallas flash), biases are
+additive masks built once per batch.
+
+bf16 policy: ``dtype`` is the compute dtype (activations); parameters stay
+float32 (``param_dtype``) — the TPU-correct mixed-precision recipe (no loss
+scaling needed, unlike the reference's CUDA amp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
+
+ACT2FN = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "swish": nn.silu,
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: Any = jnp.float32
+
+    @classmethod
+    def from_dict(cls, d, **overrides):
+        d = dict(d or {})
+        d.update(overrides)
+        fields = {f.name for f in dataclasses.fields(cls)}
+        if d.get("dtype") in ("bfloat16", "bf16"):
+            d["dtype"] = jnp.bfloat16
+        elif d.get("dtype") in ("float32", "fp32"):
+            d["dtype"] = jnp.float32
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
+    return nn.Dense(
+        features,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.normal(cfg.initializer_range),
+        name=name,
+    )
+
+
+class SelfAttention(nn.Module):
+    """Multi-head attention block. Supports self- and cross-attention
+    (kv from a different stream — the ViLBERT co-attention case)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, kv=None, bias=None, deterministic=True,
+                 output_attentions=False):
+        cfg = self.config
+        if kv is None:
+            kv = hidden
+        h = cfg.num_attention_heads
+        d = cfg.hidden_size // h
+
+        q = _dense(cfg, cfg.hidden_size, "query")(hidden)
+        k = _dense(cfg, cfg.hidden_size, "key")(kv)
+        v = _dense(cfg, cfg.hidden_size, "value")(kv)
+
+        def split(x):
+            return x.reshape(x.shape[0], x.shape[1], h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        ctx = dot_product_attention(q, k, v, bias=bias)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(
+            hidden.shape[0], hidden.shape[1], cfg.hidden_size
+        )
+
+        out = _dense(cfg, cfg.hidden_size, "output_dense")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic)
+        out = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="output_layer_norm"
+        )(out + hidden)
+        return out
+
+
+class FeedForward(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, deterministic=True):
+        cfg = self.config
+        x = _dense(cfg, cfg.intermediate_size, "intermediate_dense")(hidden)
+        x = ACT2FN[cfg.hidden_act](x)
+        x = _dense(cfg, cfg.hidden_size, "output_dense")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="output_layer_norm"
+        )(x + hidden)
+        return x
+
+
+class TransformerLayer(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic=True):
+        hidden = SelfAttention(self.config, name="attention")(
+            hidden, bias=bias, deterministic=deterministic
+        )
+        hidden = FeedForward(self.config, name="ffn")(hidden, deterministic)
+        return hidden
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of layers. Layers are unrolled (BERT-scale depth compiles
+    fast and keeps per-layer names stable for checkpoint conversion)."""
+
+    config: TransformerConfig
+    num_layers: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic=True,
+                 output_hidden_states=False):
+        n = self.num_layers or self.config.num_hidden_layers
+        all_hidden = []
+        for i in range(n):
+            if output_hidden_states:
+                all_hidden.append(hidden)
+            hidden = TransformerLayer(self.config, name=f"layer_{i}")(
+                hidden, bias=bias, deterministic=deterministic
+            )
+        if output_hidden_states:
+            all_hidden.append(hidden)
+            return hidden, all_hidden
+        return hidden
+
+
+class TextEmbeddings(nn.Module):
+    """BERT word/position/token-type embeddings + LN + dropout."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 inputs_embeds=None, deterministic=True):
+        cfg = self.config
+        if inputs_embeds is None:
+            inputs_embeds = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size,
+                embedding_init=nn.initializers.normal(cfg.initializer_range),
+                param_dtype=jnp.float32, dtype=cfg.dtype,
+                name="word_embeddings",
+            )(input_ids.astype(jnp.int32))
+        seq_len = inputs_embeds.shape[1]
+        if position_ids is None:
+            position_ids = jnp.arange(seq_len)[None, :]
+        pos = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            param_dtype=jnp.float32, dtype=cfg.dtype,
+            name="position_embeddings",
+        )(position_ids.astype(jnp.int32))
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros(inputs_embeds.shape[:2], jnp.int32)
+        typ = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size,
+            embedding_init=nn.initializers.normal(cfg.initializer_range),
+            param_dtype=jnp.float32, dtype=cfg.dtype,
+            name="token_type_embeddings",
+        )(token_type_ids.astype(jnp.int32))
+        x = inputs_embeds + pos + typ
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="layer_norm",
+        )(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic)
+        return x
+
+
+class Pooler(nn.Module):
+    """CLS pooler: dense + tanh."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        first = hidden[:, 0]
+        return nn.tanh(_dense(self.config, self.config.hidden_size, "dense")(first))
+
+
+class TransformerModel(nn.Module):
+    """Full BERT-style model: embeddings -> encoder -> pooler."""
+
+    config: TransformerConfig
+    add_pooling_layer: bool = True
+
+    @nn.compact
+    def __call__(self, input_ids=None, attention_mask=None, token_type_ids=None,
+                 position_ids=None, inputs_embeds=None, deterministic=True):
+        cfg = self.config
+        x = TextEmbeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, position_ids, inputs_embeds,
+            deterministic,
+        )
+        bias = None
+        if attention_mask is not None:
+            bias = make_attention_bias(attention_mask, cfg.dtype)
+        x = TransformerEncoder(cfg, name="encoder")(
+            x, bias=bias, deterministic=deterministic
+        )
+        pooled = None
+        if self.add_pooling_layer:
+            pooled = Pooler(cfg, name="pooler")(x)
+        return x, pooled
+
+
+class PredictionHeadTransform(nn.Module):
+    """dense + act + LN (BertPredictionHeadTransform)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden):
+        cfg = self.config
+        x = _dense(cfg, cfg.hidden_size, "dense")(hidden)
+        x = ACT2FN[cfg.hidden_act](x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="layer_norm",
+        )(x)
+        return x
+
+
+class MLMHead(nn.Module):
+    """Masked-LM head: transform + decoder to vocab (optionally tied)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, shared_embedding=None):
+        cfg = self.config
+        x = PredictionHeadTransform(cfg, name="transform")(hidden)
+        if shared_embedding is not None:
+            logits = x @ shared_embedding.T.astype(cfg.dtype)
+            bias = self.param(
+                "bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
+            )
+            logits = logits + bias.astype(cfg.dtype)
+        else:
+            logits = nn.Dense(
+                cfg.vocab_size, dtype=cfg.dtype, param_dtype=jnp.float32,
+                name="decoder",
+            )(x)
+        return logits

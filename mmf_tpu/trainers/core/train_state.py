@@ -86,7 +86,9 @@ def make_train_step(
         else:
             output = model_apply(variables, batch_in, True, rngs=rngs)
             new_vars = {}
-        losses = losses_fn(batch_in, output)
+        # model-internal losses (pretraining heads) + registered losses
+        losses = dict(output.get("losses", {}))
+        losses.update(losses_fn(batch_in, output))
         total = sum(jnp.mean(v) for v in losses.values())
         return total / update_frequency, (losses, new_vars)
 
@@ -168,7 +170,9 @@ def make_eval_step(model_apply: Callable, losses_fn: Optional[Callable] = None,
         output = model_apply(variables, batch_in, False)
         if losses_fn is not None:
             output = dict(output)
-            output["losses"] = losses_fn(batch_in, output)
+            losses = dict(output.get("losses", {}))
+            losses.update(losses_fn(batch_in, output))
+            output["losses"] = losses
         return output
 
     return eval_step
