@@ -1,0 +1,336 @@
+"""M4C: multimodal transformer with pointer network for TextVQA.
+
+TPU-native reimplementation of the reference (mmf/models/m4c.py:573):
+TextBert (3L) encodes the question; object and OCR branches project
+Faster-R-CNN fc7 + FastText(300) + PHOC(604) + bbox features; the MMT
+joint transformer runs over [txt, obj, ocr, dec] with a prefix-LM mask
+(causal only on the decode span); outputs = fixed-vocab classifier scores
+concatenated with OcrPtrNet dynamic copy scores.
+
+Decoding: the reference greedy-decodes with 12 SEPARATE full forwards,
+one python dispatch each (m4c.py:284-304, noted in SURVEY §3.4). Here the
+12 steps unroll inside ONE jit — module params are shared across steps
+(linen instance reuse), XLA pipelines the whole decode, and there is a
+single device dispatch per batch.
+
+Cross-layer contract preserved: reads ``{dataset}_num_final_outputs`` and
+``{dataset}_answer_processor`` from the registry (reference m4c.py:159-170).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.modules.transformer import (
+    TextEmbeddings,
+    TransformerConfig,
+    TransformerEncoder,
+)
+from mmf_tpu.ops.attention import DEFAULT_MASK_VALUE
+
+
+def _get_mask(nums, max_num):
+    return (
+        jnp.arange(max_num)[None, :] < nums.reshape(-1, 1)
+    ).astype(jnp.float32)
+
+
+def _normalize(x, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+class TextBert(nn.Module):
+    """Question encoder (reference m4c.py:350-372)."""
+
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, txt_inds, txt_mask, deterministic=True):
+        x = TextEmbeddings(self.cfg, name="embeddings")(
+            txt_inds, deterministic=deterministic
+        )
+        bias = ((1.0 - txt_mask) * -10000.0)[:, None, None, :]
+        return TransformerEncoder(self.cfg, name="encoder")(
+            x, bias=bias, deterministic=deterministic
+        )
+
+
+class PrevPredEmbeddings(nn.Module):
+    """Decode-step input embeddings from previous predictions
+    (reference m4c.py:493-539)."""
+
+    cfg: TransformerConfig
+    MAX_DEC_LENGTH: int = 100
+    MAX_TYPE_NUM: int = 5
+
+    @nn.compact
+    def __call__(self, ans_emb, ocr_emb, prev_inds, deterministic=True):
+        hidden = self.cfg.hidden_size
+        eps = self.cfg.layer_norm_eps
+        B, T = prev_inds.shape
+        ans_num = ans_emb.shape[0]
+
+        ans_emb = nn.LayerNorm(epsilon=eps, name="ans_layer_norm")(ans_emb)
+        ocr_emb = nn.LayerNorm(epsilon=eps, name="ocr_layer_norm")(ocr_emb)
+        ans_b = jnp.broadcast_to(ans_emb[None], (B,) + ans_emb.shape)
+        cat = jnp.concatenate([ans_b, ocr_emb], axis=1)  # [B, V+O, H]
+        raw_dec = jnp.take_along_axis(
+            cat, prev_inds[..., None].astype(jnp.int32), axis=1
+        )
+
+        pos = nn.Embed(self.MAX_DEC_LENGTH, hidden,
+                       name="position_embeddings")(jnp.arange(T)[None, :])
+        token_type = (prev_inds >= ans_num).astype(jnp.int32)
+        typ = nn.Embed(self.MAX_TYPE_NUM, hidden,
+                       name="token_type_embeddings")(token_type)
+        emb = nn.LayerNorm(epsilon=eps, name="emb_layer_norm")(pos + typ)
+        emb = nn.Dropout(self.cfg.hidden_dropout_prob)(emb, deterministic)
+        return raw_dec + emb
+
+
+class MMT(nn.Module):
+    """Joint transformer over [txt, obj, ocr, dec] with prefix-LM mask
+    (reference m4c.py:375-456)."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        self.prev_pred_embeddings = PrevPredEmbeddings(self.cfg)
+        self.encoder = TransformerEncoder(self.cfg)
+
+    def __call__(self, txt_emb, txt_mask, obj_emb, obj_mask, ocr_emb,
+                 ocr_mask, fixed_ans_emb, prev_inds, deterministic=True):
+        dec_emb = self.prev_pred_embeddings(
+            fixed_ans_emb, ocr_emb, prev_inds, deterministic
+        )
+        dec_max_num = dec_emb.shape[1]
+        dec_mask = jnp.zeros(dec_emb.shape[:2], jnp.float32)
+
+        encoder_inputs = jnp.concatenate(
+            [txt_emb, obj_emb, ocr_emb, dec_emb], axis=1
+        )
+        attention_mask = jnp.concatenate(
+            [txt_mask, obj_mask, ocr_mask, dec_mask], axis=1
+        )
+        S = attention_mask.shape[1]
+
+        # prefix-LM extended mask: everyone sees encoding tokens; decode
+        # span is causal
+        ext = jnp.broadcast_to(
+            attention_mask[:, None, None, :],
+            (attention_mask.shape[0], 1, S, S),
+        )
+        causal = jnp.tril(jnp.ones((dec_max_num, dec_max_num), jnp.float32))
+        ext = ext.at[:, :, -dec_max_num:, -dec_max_num:].set(
+            causal[None, None]
+        )
+        bias = (1.0 - ext) * -10000.0
+
+        seq = self.encoder(encoder_inputs, bias=bias,
+                           deterministic=deterministic)
+
+        txt_max = txt_mask.shape[-1]
+        obj_max = obj_mask.shape[-1]
+        ocr_max = ocr_mask.shape[-1]
+        return {
+            "mmt_seq_output": seq,
+            "mmt_txt_output": seq[:, :txt_max],
+            "mmt_ocr_output": seq[:, txt_max + obj_max:
+                                  txt_max + obj_max + ocr_max],
+            "mmt_dec_output": seq[:, -dec_max_num:],
+        }
+
+
+class OcrPtrNet(nn.Module):
+    """Dynamic pointer scores over OCR tokens (reference m4c.py:459-490)."""
+
+    hidden_size: int
+    query_key_size: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, query_inputs, key_inputs, attention_mask):
+        qk = self.query_key_size or self.hidden_size
+        ext_mask = ((1.0 - attention_mask) * -10000.0)[:, None, :]
+        q = nn.Dense(qk, name="query")(query_inputs)
+        k = nn.Dense(qk, name="key")(key_inputs)
+        scores = jnp.einsum("btq,bsq->bts", q, k) / jnp.sqrt(float(qk))
+        return scores + ext_mask
+
+
+@registry.register_model("m4c")
+class M4C(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/m4c/defaults.yaml"
+
+    def _mmt_cfg(self):
+        mmt = dict(self.config.get("mmt", {}) or {})
+        return TransformerConfig.from_dict(
+            {
+                "hidden_size": mmt.get("hidden_size", 768),
+                "num_hidden_layers": mmt.get("num_hidden_layers", 4),
+                "num_attention_heads": mmt.get("num_attention_heads", 12),
+                "intermediate_size": mmt.get(
+                    "intermediate_size", mmt.get("hidden_size", 768) * 4
+                ),
+            }
+        )
+
+    def _text_cfg(self):
+        tb = dict(self.config.get("text_bert", {}) or {})
+        return TransformerConfig.from_dict(
+            {
+                "vocab_size": tb.get("vocab_size", 30522),
+                "hidden_size": tb.get("hidden_size", 768),
+                "num_hidden_layers": tb.get("num_hidden_layers", 3),
+                "num_attention_heads": tb.get("num_attention_heads", 12),
+                "intermediate_size": tb.get(
+                    "intermediate_size", tb.get("hidden_size", 768) * 4
+                ),
+            }
+        )
+
+    def _num_choices(self):
+        datasets = self.config.get("datasets", None) or registry.get(
+            "config", no_warning=True
+        ) and (registry.get("config")["datasets"])
+        if isinstance(datasets, str):
+            dataset = datasets.split(",")[0].strip()
+        elif isinstance(datasets, (list, tuple)) and datasets:
+            dataset = datasets[0]
+        else:
+            dataset = "textvqa"
+        num = registry.get(f"{dataset}_num_final_outputs", no_warning=True)
+        if num is None:
+            num = self.config.get("num_final_outputs", 5050)
+        return num - self.config["classifier"]["ocr_max_num"]
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        c = self.config
+        deterministic = not train
+        mmt_cfg = self._mmt_cfg()
+        text_cfg = self._text_cfg()
+        hidden = mmt_cfg.hidden_size
+
+        # ---- shared modules (single instances reused across decode steps)
+        text_bert = TextBert(text_cfg, name="text_bert")
+        mmt = MMT(mmt_cfg, name="mmt")
+        ocr_ptr_net = OcrPtrNet(
+            hidden_size=hidden,
+            query_key_size=c["classifier"]["ocr_ptr_net"].get(
+                "query_key_size", None
+            ),
+            name="ocr_ptr_net",
+        )
+        num_choices = self._num_choices()
+        classifier_w = self.param(
+            "classifier_w", nn.initializers.normal(0.02),
+            (num_choices, hidden),
+        )
+        classifier_b = self.param(
+            "classifier_b", nn.initializers.zeros, (num_choices,)
+        )
+
+        from mmf_tpu.modules.embeddings import ImageFinetune
+
+        obj_fc7_enc = ImageFinetune(
+            c["obj"].get("mmt_in_dim", 2048), out_dim_hint=2048,
+            name="obj_faster_rcnn_fc7",
+        )
+        ocr_fc7_enc = ImageFinetune(2048, out_dim_hint=2048,
+                                    name="ocr_faster_rcnn_fc7")
+
+        # ---- text encoding ----------------------------------------------
+        txt_inds = sample_list["text"]
+        txt_mask = _get_mask(sample_list["text_len"], txt_inds.shape[1])
+        txt_emb = text_bert(txt_inds, txt_mask, deterministic)
+        if text_cfg.hidden_size != hidden:
+            txt_emb = nn.Dense(hidden, name="text_bert_out_linear")(txt_emb)
+
+        # ---- obj branch ----------------------------------------------------
+        obj_fc6 = sample_list["image_feature_0"]
+        obj_fc7 = _normalize(obj_fc7_enc(obj_fc6))
+        obj_bbox = sample_list["obj_bbox_coordinates"]
+        obj_mmt_in = nn.LayerNorm(name="obj_feat_layer_norm")(
+            nn.Dense(hidden, name="linear_obj_feat_to_mmt_in")(obj_fc7)
+        ) + nn.LayerNorm(name="obj_bbox_layer_norm")(
+            nn.Dense(hidden, name="linear_obj_bbox_to_mmt_in")(obj_bbox)
+        )
+        obj_mmt_in = nn.Dropout(c["obj"].get("dropout_prob", 0.1))(
+            obj_mmt_in, deterministic
+        )
+        obj_nums = sample_list["image_info_0"]["max_features"]
+        obj_mask = _get_mask(obj_nums, obj_mmt_in.shape[1])
+
+        # ---- ocr branch ----------------------------------------------------
+        ocr_fasttext = _normalize(sample_list["context_feature_0"])
+        ocr_phoc = _normalize(sample_list["context_feature_1"])
+        assert ocr_fasttext.shape[-1] == 300
+        assert ocr_phoc.shape[-1] == 604
+        ocr_fc6 = sample_list["image_feature_1"][:, : ocr_fasttext.shape[1], :]
+        ocr_fc7 = _normalize(ocr_fc7_enc(ocr_fc6))
+        order_vectors = jnp.zeros_like(sample_list["order_vectors"])
+
+        if c["ocr"].get("remove_ocr_fasttext", False):
+            ocr_fasttext = jnp.zeros_like(ocr_fasttext)
+        if c["ocr"].get("remove_ocr_phoc", False):
+            ocr_phoc = jnp.zeros_like(ocr_phoc)
+        if c["ocr"].get("remove_ocr_frcn", False):
+            ocr_fc7 = jnp.zeros_like(ocr_fc7)
+        ocr_feat = jnp.concatenate(
+            [ocr_fasttext, ocr_phoc, ocr_fc7, order_vectors], axis=-1
+        )
+        ocr_bbox = sample_list["ocr_bbox_coordinates"]
+        if c["ocr"].get("remove_ocr_semantics", False):
+            ocr_feat = jnp.zeros_like(ocr_feat)
+        if c["ocr"].get("remove_ocr_bbox", False):
+            ocr_bbox = jnp.zeros_like(ocr_bbox)
+        ocr_mmt_in = nn.LayerNorm(name="ocr_feat_layer_norm")(
+            nn.Dense(hidden, name="linear_ocr_feat_to_mmt_in")(ocr_feat)
+        ) + nn.LayerNorm(name="ocr_bbox_layer_norm")(
+            nn.Dense(hidden, name="linear_ocr_bbox_to_mmt_in")(ocr_bbox)
+        )
+        ocr_mmt_in = nn.Dropout(c["ocr"].get("dropout_prob", 0.1))(
+            ocr_mmt_in, deterministic
+        )
+        ocr_nums = sample_list["context_info_0"]["max_features"]
+        ocr_mask = _get_mask(ocr_nums, ocr_mmt_in.shape[1])
+
+        # ---- mmt + output ---------------------------------------------------
+        def one_pass(prev_inds):
+            res = mmt(
+                txt_emb, txt_mask, obj_mmt_in, obj_mask, ocr_mmt_in,
+                ocr_mask, classifier_w, prev_inds, deterministic,
+            )
+            dec = res["mmt_dec_output"]
+            fixed_scores = dec @ classifier_w.T + classifier_b
+            dyn = ocr_ptr_net(dec, res["mmt_ocr_output"], ocr_mask)
+            return jnp.concatenate([fixed_scores, dyn], axis=-1)
+
+        train_prev_inds = sample_list["train_prev_inds"].astype(jnp.int32)
+        if train:
+            scores = one_pass(train_prev_inds)
+        else:
+            dec_step_num = train_prev_inds.shape[1]
+            bos_idx = int(self.config.get("bos_idx", 1))
+            prev_inds = jnp.zeros_like(train_prev_inds)
+            prev_inds = prev_inds.at[:, 0].set(bos_idx)
+            scores = None
+            # unrolled greedy decode inside one jit: params shared across
+            # steps via linen instance reuse
+            for _ in range(dec_step_num):
+                scores = one_pass(prev_inds)
+                argmax_inds = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+                prev_inds = prev_inds.at[:, 1:].set(argmax_inds[:, :-1])
+
+        return {"scores": scores}

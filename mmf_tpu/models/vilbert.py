@@ -1,0 +1,432 @@
+"""ViLBERT: two-stream transformer with co-attention bridges.
+
+TPU-native reimplementation of the reference (mmf/models/vilbert.py, 1472
+lines): a text stream (BERT-base) and an image stream (v_hidden 1024, 6
+layers) run in parallel, bridged at configured depths
+(``t_biattention_id``/``v_biattention_id``) by BertConnectionLayer whose
+BertBiAttention computes BOTH cross directions (text-queries x image-keys
+and image-queries x text-keys) through the shared attention kernel.
+
+The interleave schedule is static config, so it unrolls into straight-line
+XLA; ``fixed_t/v_layer`` no-grad prefixes become stop_gradient. Supports
+``dynamic_attention`` gates and pretraining (masked LM + masked image KLD)
+and classification heads. nlvr2 batches are pre-doubled like VisualBERT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.modules.transformer import (
+    ACT2FN,
+    PredictionHeadTransform,
+    TextEmbeddings,
+    TransformerConfig,
+    _dense,
+)
+from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
+
+
+def _split_heads(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class ImageSelfAttention(nn.Module):
+    """Image-stream self-attention with optional text-conditioned dynamic
+    gating (reference vilbert.py:153-249)."""
+
+    cfg: Any  # vilbert config node
+
+    @nn.compact
+    def __call__(self, hidden, bias, txt_embedding, txt_attention_mask,
+                 deterministic=True):
+        c = self.cfg
+        v_hidden = c["v_hidden_size"]
+        h = c["v_num_attention_heads"]
+        q = nn.Dense(v_hidden, name="query")(hidden)
+        k = nn.Dense(v_hidden, name="key")(hidden)
+        v = nn.Dense(v_hidden, name="value")(hidden)
+
+        if c.get("dynamic_attention", False):
+            m = txt_attention_mask.astype(txt_embedding.dtype)[..., None]
+            pool = jnp.sum(txt_embedding * m, axis=1) / jnp.maximum(
+                jnp.sum(m, axis=1), 1.0
+            )
+            gate_q = 1 + nn.sigmoid(nn.Dense(v_hidden, name="dyLinear_q")(pool))
+            gate_k = 1 + nn.sigmoid(nn.Dense(v_hidden, name="dyLinear_k")(pool))
+            q = q * gate_q[:, None, :]
+            k = k * gate_k[:, None, :]
+
+        ctx = dot_product_attention(
+            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias
+        )
+        return _merge_heads(ctx)
+
+
+class ImageLayer(nn.Module):
+    """Image-stream transformer layer (reference vilbert.py:313-345)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, hidden, bias, txt_embedding, txt_attention_mask,
+                 deterministic=True):
+        c = self.cfg
+        v_hidden = c["v_hidden_size"]
+        att = ImageSelfAttention(c, name="attention_self")(
+            hidden, bias, txt_embedding, txt_attention_mask, deterministic
+        )
+        att = nn.Dense(v_hidden, name="attention_output_dense")(att)
+        att = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(att, deterministic)
+        hidden = nn.LayerNorm(epsilon=1e-12, name="attention_ln")(att + hidden)
+
+        inter = nn.Dense(c["v_intermediate_size"], name="intermediate_dense")(
+            hidden
+        )
+        inter = ACT2FN[c.get("v_hidden_act", "gelu")](inter)
+        out = nn.Dense(v_hidden, name="output_dense")(inter)
+        out = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(out, deterministic)
+        return nn.LayerNorm(epsilon=1e-12, name="output_ln")(out + hidden)
+
+
+class TextLayer(nn.Module):
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic=True):
+        c = self.cfg
+        hsz = c["hidden_size"]
+        h = c["num_attention_heads"]
+        q = nn.Dense(hsz, name="query")(hidden)
+        k = nn.Dense(hsz, name="key")(hidden)
+        v = nn.Dense(hsz, name="value")(hidden)
+        ctx = dot_product_attention(
+            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias
+        )
+        att = nn.Dense(hsz, name="attention_output_dense")(_merge_heads(ctx))
+        att = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(att, deterministic)
+        hidden = nn.LayerNorm(epsilon=1e-12, name="attention_ln")(att + hidden)
+
+        inter = ACT2FN[c.get("hidden_act", "gelu")](
+            nn.Dense(c["intermediate_size"], name="intermediate_dense")(hidden)
+        )
+        out = nn.Dense(hsz, name="output_dense")(inter)
+        out = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(out, deterministic)
+        return nn.LayerNorm(epsilon=1e-12, name="output_ln")(out + hidden)
+
+
+class ConnectionLayer(nn.Module):
+    """Bi-attention bridge + per-stream FFNs
+    (reference vilbert.py:347-558). One module computes both cross
+    directions: text-q x image-kv and image-q x text-kv."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, v_hidden, v_bias, t_hidden, t_bias, deterministic=True):
+        c = self.cfg
+        bi = c["bi_hidden_size"]
+        h = c["bi_num_attention_heads"]
+
+        q1 = nn.Dense(bi, name="query1")(v_hidden)
+        k1 = nn.Dense(bi, name="key1")(v_hidden)
+        va1 = nn.Dense(bi, name="value1")(v_hidden)
+        q2 = nn.Dense(bi, name="query2")(t_hidden)
+        k2 = nn.Dense(bi, name="key2")(t_hidden)
+        va2 = nn.Dense(bi, name="value2")(t_hidden)
+
+        # text queries attend image keys/values (context for text)
+        ctx1 = dot_product_attention(
+            _split_heads(q2, h), _split_heads(k1, h), _split_heads(va1, h),
+            v_bias,
+        )
+        # image queries attend text keys/values (context for image)
+        ctx2 = dot_product_attention(
+            _split_heads(q1, h), _split_heads(k2, h), _split_heads(va2, h),
+            t_bias,
+        )
+        ctx1 = _merge_heads(ctx1)  # [B, T_text, bi]
+        ctx2 = _merge_heads(ctx2)  # [B, T_img, bi]
+
+        # BiOutput (reference naming: dense1 consumes ctx2->image stream)
+        v_ctx = nn.Dense(c["v_hidden_size"], name="biout_dense1")(ctx2)
+        v_ctx = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(
+            v_ctx, deterministic
+        )
+        v_att = nn.LayerNorm(epsilon=1e-12, name="biout_ln1")(v_ctx + v_hidden)
+
+        t_ctx = nn.Dense(c["hidden_size"], name="biout_dense2")(ctx1)
+        t_ctx = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(
+            t_ctx, deterministic
+        )
+        t_att = nn.LayerNorm(epsilon=1e-12, name="biout_ln2")(t_ctx + t_hidden)
+
+        # per-stream FFNs
+        v_int = ACT2FN[c.get("v_hidden_act", "gelu")](
+            nn.Dense(c["v_intermediate_size"], name="v_intermediate")(v_att)
+        )
+        v_out = nn.Dense(c["v_hidden_size"], name="v_output")(v_int)
+        v_out = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(
+            v_out, deterministic
+        )
+        v_final = nn.LayerNorm(epsilon=1e-12, name="v_output_ln")(v_out + v_att)
+
+        t_int = ACT2FN[c.get("hidden_act", "gelu")](
+            nn.Dense(c["intermediate_size"], name="t_intermediate")(t_att)
+        )
+        t_out = nn.Dense(c["hidden_size"], name="t_output")(t_int)
+        t_out = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(
+            t_out, deterministic
+        )
+        t_final = nn.LayerNorm(epsilon=1e-12, name="t_output_ln")(t_out + t_att)
+
+        return v_final, t_final
+
+
+class ViLBertBase(nn.Module):
+    """Two-stream encoder with the reference's interleave schedule
+    (vilbert.py:559-798, 916-1053)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, input_ids, image_feature, image_location,
+                 token_type_ids, attention_mask, image_attention_mask,
+                 deterministic=True):
+        c = self.cfg
+        tcfg = TransformerConfig.from_dict(
+            {
+                k: c.get(k)
+                for k in ("vocab_size", "hidden_size", "num_attention_heads",
+                          "intermediate_size", "hidden_dropout_prob",
+                          "max_position_embeddings", "type_vocab_size")
+                if c.get(k) is not None
+            }
+        )
+
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if image_attention_mask is None:
+            image_attention_mask = jnp.ones(image_feature.shape[:2],
+                                            input_ids.dtype)
+
+        t_bias = make_attention_bias(attention_mask)
+        v_bias = make_attention_bias(image_attention_mask)
+
+        # embeddings
+        txt = TextEmbeddings(tcfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic
+        )
+        img = nn.Dense(c["v_hidden_size"], name="v_image_embeddings")(
+            image_feature
+        ) + nn.Dense(c["v_hidden_size"], name="v_location_embeddings")(
+            image_location
+        )
+        img = nn.LayerNorm(epsilon=1e-12, name="v_embeddings_ln")(img)
+        img = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(img, deterministic)
+
+        t_layers = [
+            TextLayer(c, name=f"layer_{i}")
+            for i in range(c["num_hidden_layers"])
+        ]
+        v_layers = [
+            ImageLayer(c, name=f"v_layer_{i}")
+            for i in range(c["v_num_hidden_layers"])
+        ]
+        v_bi_ids = list(c["v_biattention_id"])
+        t_bi_ids = list(c["t_biattention_id"])
+        c_layers = [
+            ConnectionLayer(c, name=f"c_layer_{i}")
+            for i in range(len(v_bi_ids))
+        ]
+        fixed_t = c.get("fixed_t_layer", 0)
+        fixed_v = c.get("fixed_v_layer", 0)
+        with_coattention = c.get("with_coattention", True)
+
+        v_start, t_start = 0, 0
+        for count, (v_end, t_end) in enumerate(zip(v_bi_ids, t_bi_ids)):
+            assert fixed_t <= t_end and fixed_v <= v_end
+            for idx in range(t_start, t_end):
+                out = t_layers[idx](txt, t_bias, deterministic)
+                txt = jax.lax.stop_gradient(out) if idx < fixed_t else out
+            for idx in range(v_start, v_end):
+                out = v_layers[idx](
+                    img, v_bias, txt, attention_mask, deterministic
+                )
+                img = jax.lax.stop_gradient(out) if idx < fixed_v else out
+            if with_coattention:
+                img, txt = c_layers[count](
+                    img, v_bias, txt, t_bias, deterministic
+                )
+            v_start, t_start = v_end, t_end
+
+        for idx in range(v_start, c["v_num_hidden_layers"]):
+            img = v_layers[idx](img, v_bias, txt, attention_mask, deterministic)
+        for idx in range(t_start, c["num_hidden_layers"]):
+            txt = t_layers[idx](txt, t_bias, deterministic)
+
+        # poolers: project CLS / first region into bi_hidden
+        pooled_t = nn.tanh(
+            nn.Dense(c["bi_hidden_size"], name="t_pooler")(txt[:, 0])
+        )
+        pooled_v = nn.tanh(
+            nn.Dense(c["bi_hidden_size"], name="v_pooler")(img[:, 0])
+        )
+        return txt, img, pooled_t, pooled_v
+
+
+@registry.register_model("vilbert")
+class ViLBERT(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/vilbert/pretrain.yaml"
+
+    @classmethod
+    def format_state_key(cls, key: str) -> str:
+        return key.replace("bert.bert", "model.bert")
+
+    def _get_image_and_text_features(self, sample_list):
+        head = self.config.get("training_head_type", "classification")
+        input_ids = sample_list["input_ids"]
+        input_mask = sample_list["input_mask"]
+        segment_ids = sample_list.get("segment_ids",
+                                      jnp.zeros_like(input_ids))
+        if head == "nlvr2":
+            input_ids = jnp.concatenate([input_ids, input_ids], 0)
+            input_mask = jnp.concatenate([input_mask, input_mask], 0)
+            segment_ids = jnp.concatenate([segment_ids, segment_ids], 0)
+            feats = jnp.concatenate(
+                [sample_list["img0"]["image_feature_0"],
+                 sample_list["img1"]["image_feature_0"]], 0)
+            dims = jnp.concatenate(
+                [sample_list["img0"]["image_info_0"]["max_features"],
+                 sample_list["img1"]["image_info_0"]["max_features"]], 0)
+            locs = jnp.concatenate(
+                [sample_list["img0"]["image_info_0"]["bbox"],
+                 sample_list["img1"]["image_info_0"]["bbox"]], 0)
+            image_target = None
+        else:
+            feats = sample_list["image_feature_0"]
+            info = sample_list.get("image_info_0", {})
+            dims = info.get("max_features",
+                            jnp.full((feats.shape[0],), feats.shape[1]))
+            locs = info.get("bbox", jnp.zeros(feats.shape[:2] + (5,)))
+            image_target = info.get("cls_prob", None)
+        image_mask = (
+            jnp.arange(feats.shape[1])[None, :] < dims.reshape(-1, 1)
+        ).astype(input_mask.dtype)
+        return {
+            "input_ids": input_ids,
+            "attention_mask": input_mask,
+            "token_type_ids": segment_ids,
+            "image_feature": feats,
+            "image_location": locs,
+            "image_attention_mask": image_mask,
+            "image_target": image_target,
+            "masked_lm_labels": sample_list.get("lm_label_ids", None),
+            "image_label": sample_list.get("image_labels", None),
+        }
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        c = self.config
+        head = c.get("training_head_type", "classification")
+        deterministic = not train
+        inp = self._get_image_and_text_features(sample_list)
+
+        txt, img, pooled_t, pooled_v = ViLBertBase(c, name="bert")(
+            inp["input_ids"], inp["image_feature"], inp["image_location"],
+            inp["token_type_ids"], inp["attention_mask"],
+            inp["image_attention_mask"], deterministic,
+        )
+
+        tcfg = TransformerConfig.from_dict(
+            {"vocab_size": c.get("vocab_size", 30522),
+             "hidden_size": c.get("hidden_size", 768)}
+        )
+        output: Dict[str, Any] = {}
+        ds = sample_list.get("dataset_name", "unknown")
+        dt = sample_list.get("dataset_type", "train")
+
+        if head == "pretraining":
+            from mmf_tpu.modules.transformer import MLMHead
+
+            losses = {}
+            # text MLM over hidden_size -> vocab
+            t_logits = MLMHead(tcfg, name="cls_text")(txt)
+            labels = inp["masked_lm_labels"]
+            if labels is not None:
+                valid = labels != -1
+                safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+                lp = nn.log_softmax(t_logits.astype(jnp.float32), -1)
+                picked = jnp.take_along_axis(lp, safe[..., None], -1)[..., 0]
+                losses[f"{dt}/{ds}/masked_lm_loss"] = -jnp.sum(
+                    jnp.where(valid, picked, 0.0)
+                ) / jnp.maximum(jnp.sum(valid), 1)
+            # masked image region KLD against detector class probs
+            v_trans = nn.Dense(
+                c.get("v_hidden_size", 1024), name="img_head_transform"
+            )(img)
+            v_trans = ACT2FN["gelu"](v_trans)
+            v_trans = nn.LayerNorm(epsilon=1e-12, name="img_head_ln")(v_trans)
+            v_logits = nn.Dense(
+                c.get("v_target_size", 1601), name="img_head_decoder"
+            )(v_trans)
+            image_target = inp["image_target"]
+            image_label = inp["image_label"]
+            if image_target is not None and image_label is not None:
+                lp = nn.log_softmax(v_logits.astype(jnp.float32), -1)
+                tgt = image_target.astype(jnp.float32)
+                kld = jnp.sum(
+                    jnp.where(tgt == 0, 0.0,
+                              tgt * (jnp.log(jnp.where(tgt == 0, 1.0, tgt))
+                                     - lp)),
+                    axis=2, keepdims=True,
+                )
+                mask = (image_label == 1).astype(jnp.float32)[..., None]
+                losses[f"{dt}/{ds}/masked_img_loss"] = jnp.sum(
+                    kld * mask
+                ) / jnp.maximum(jnp.sum(mask), 1.0)
+            output["scores"] = t_logits.reshape(
+                -1, c.get("vocab_size", 30522)
+            )
+            output["losses"] = losses
+        else:
+            fusion = c.get("fusion_method", "mul")
+            if fusion == "sum":
+                pooled = pooled_t + pooled_v
+            elif fusion == "mul":
+                pooled = pooled_t * pooled_v
+            else:
+                raise AssertionError(fusion)
+            pooled = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(
+                pooled, deterministic
+            )
+            if head == "nlvr2":
+                pooled = pooled.reshape(-1, pooled.shape[1] * 2)
+            clf_cfg = TransformerConfig.from_dict(
+                {"hidden_size": pooled.shape[-1]}
+            )
+            x = PredictionHeadTransform(clf_cfg, name="classifier_transform")(
+                pooled
+            )
+            num_labels = c.get("num_labels", 2)
+            logits = nn.Dense(num_labels, name="classifier_logits")(x)
+            output["scores"] = logits.reshape(-1, num_labels).astype(
+                jnp.float32
+            )
+        return output
