@@ -1,0 +1,847 @@
+"""Core processors (parity with mmf/datasets/processors/processors.py).
+
+Host-side preprocessing emitting fixed-shape numpy arrays — the contract
+that keeps the device feed jit-friendly. All registered keys from the
+reference are provided: vocab, glove, fasttext, vqa_answer,
+graph_vqa_answer, multi_hot_answer_from_vocab, soft_copy_answer,
+simple_word, simple_sentence, bbox, caption, evalai_answer, phoc, copy,
+m4c_answer, m4c_caption, masked_region, transformer_bbox,
+multi_class_from_file, detr_image_and_target.
+"""
+
+from __future__ import annotations
+
+import collections
+import logging
+import os
+import random
+import warnings
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.common.sample import Sample
+from mmf_tpu.utils.text import VocabDict, tokenize, word_tokenize
+
+logger = logging.getLogger(__name__)
+
+
+class BaseProcessor:
+    """(reference processors.py:102-127)"""
+
+    def __init__(self, *args, config=None, **kwargs):
+        return
+
+    def __call__(self, item, *args, **kwargs):
+        return item
+
+
+class Processor:
+    """Type+params dispatch wrapper with attribute passthrough
+    (reference processors.py:130-177)."""
+
+    def __init__(self, config, *args, **kwargs):
+        if "type" not in config:
+            raise AttributeError(
+                "Config must have 'type' attribute to specify type of processor"
+            )
+        processor_class = registry.get_processor_class(config["type"])
+        if processor_class is None:
+            raise ValueError(
+                f"No processor class named {config['type']} is defined."
+            )
+        params = {}
+        if "params" not in config:
+            logger.warning(
+                "Config doesn't have 'params' attribute to specify "
+                f"parameters of the processor of type {config['type']}. "
+                "Setting to default {}"
+            )
+        else:
+            params = config["params"]
+        self.processor = processor_class(params, *args, **kwargs)
+        self._dir_representation = dir(self)
+
+    def __call__(self, item, *args, **kwargs):
+        return self.processor(item, *args, **kwargs)
+
+    def __getattr__(self, name):
+        if "_dir_representation" in self.__dict__ and name in self._dir_representation:
+            return getattr(self, name)
+        elif "processor" in self.__dict__ and hasattr(self.processor, name):
+            return getattr(self.processor, name)
+        else:
+            raise AttributeError(
+                f"The processor {name} doesn't exist in the registry."
+            )
+
+
+class BatchProcessor(BaseProcessor):
+    """(reference processors.py:180-205)"""
+
+    def __init__(self, config, *args, **kwargs):
+        from mmf_tpu.config.configuration import get_mmf_env
+
+        extra_params = {"data_dir": get_mmf_env(key="data_dir")}
+        processors_dict = (config or {}).get("processors", {})
+        self.processors = {}
+        for key, cfg in (processors_dict or {}).items():
+            if cfg is None:
+                continue
+            self.processors[key] = Processor(cfg, **extra_params)
+
+    def __call__(self, item):
+        return item
+
+
+@registry.register_processor("vocab")
+class VocabProcessor(BaseProcessor):
+    """Words -> padded index arrays via a Vocab
+    (reference processors.py:207-342)."""
+
+    MAX_LENGTH_DEFAULT = 50
+    PAD_TOKEN = "<pad>"
+    PAD_INDEX = 0
+
+    def __init__(self, config, *args, **kwargs):
+        if not config.get("vocab"):
+            raise AttributeError(
+                "config passed to the processor has no attribute vocab"
+            )
+        from mmf_tpu.utils.vocab import Vocab
+
+        self.vocab = Vocab(*args, **config["vocab"], **kwargs)
+        self._init_extras(config, *args, **kwargs)
+
+    def _init_extras(self, config, *args, **kwargs):
+        self.preprocessor = None
+        if "max_length" in config:
+            self.max_length = config["max_length"]
+        else:
+            warnings.warn(
+                "No 'max_length' parameter in Processor's configuration. "
+                f"Setting to {self.MAX_LENGTH_DEFAULT}."
+            )
+            self.max_length = self.MAX_LENGTH_DEFAULT
+        if "preprocessor" in config:
+            self.preprocessor = Processor(config["preprocessor"], *args, **kwargs)
+
+    def __call__(self, item):
+        indices = None
+        if not isinstance(item, dict):
+            raise TypeError(
+                "Argument passed to the processor must be a dict with either "
+                "'text' or 'tokens' as keys"
+            )
+        if "tokens" in item:
+            tokens = item["tokens"]
+            indices = self._map_strings_to_indices(item["tokens"])
+        elif "text" in item:
+            if self.preprocessor is None:
+                raise AssertionError(
+                    "If tokens are not provided, a text preprocessor must "
+                    "be defined in the config"
+                )
+            tokens = self.preprocessor({"text": item["text"]})["text"]
+            indices = self._map_strings_to_indices(tokens)
+        else:
+            raise AssertionError(
+                "A dict with either 'text' or 'tokens' keys must be passed "
+                "to the processor"
+            )
+        tokens, length = self._pad_tokens(tokens)
+        return {"text": indices, "tokens": tokens, "length": length}
+
+    def _pad_tokens(self, tokens):
+        padded_tokens = [self.PAD_TOKEN] * self.max_length
+        token_length = min(len(tokens), self.max_length)
+        padded_tokens[:token_length] = tokens[:token_length]
+        return padded_tokens, np.int64(token_length)
+
+    def get_pad_index(self):
+        return self.vocab.get_pad_index()
+
+    def get_vocab_size(self):
+        return self.vocab.get_size()
+
+    def _map_strings_to_indices(self, tokens):
+        length = min(len(tokens), self.max_length)
+        tokens = tokens[:length]
+        output = np.full(self.max_length, self.vocab.get_pad_index(), np.int64)
+        for idx, token in enumerate(tokens):
+            output[idx] = self.vocab.stoi.get(
+                token, self.vocab.get_unk_index()
+            )
+        return output
+
+
+@registry.register_processor("glove")
+class GloVeProcessor(VocabProcessor):
+    """Returns GloVe vectors directly instead of indices
+    (reference processors.py:356-404)."""
+
+    def __init__(self, config, *args, **kwargs):
+        if not config.get("vocab"):
+            raise AttributeError(
+                "Config passed to the processor has no attribute vocab"
+            )
+        vocab_processor_config = dict(config)
+        vocab_processor_config["vocab"] = dict(config["vocab"])
+        vocab_processor_config["vocab"]["type"] = "intersected"
+        if "vocab_file" not in vocab_processor_config["vocab"]:
+            warnings.warn(
+                "'vocab_file' key is not present in the config. "
+                "Switching to pretrained vocab."
+            )
+            vocab_processor_config["vocab"]["type"] = "pretrained"
+        super().__init__(vocab_processor_config, *args, **kwargs)
+
+    def __call__(self, item):
+        indices = super().__call__(item)["text"]
+        embeddings = np.zeros(
+            (len(indices), self.vocab.get_vectors().shape[1]), np.float32
+        )
+        for idx, index in enumerate(indices):
+            embeddings[idx] = self.vocab.get_vectors()[int(index)]
+        return {"text": embeddings}
+
+
+@registry.register_processor("fasttext")
+class FastTextProcessor(VocabProcessor):
+    """FastText sentence vectors (reference processors.py:407-532).
+    Requires the fasttext model file in the cache (no egress)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self._init_extras(config)
+        self.config = config
+        self._download_initially = config.get("download_initially", False)
+        self._already_downloaded = False
+        self._is_model_loaded = False
+        self.model_file = config.get("model_file", None)
+
+    def _load_fasttext_model(self, model_file):
+        if self._is_model_loaded:
+            return
+        import fasttext
+
+        if not os.path.exists(model_file):
+            raise RuntimeError(
+                f"fasttext model {model_file} not present; pre-populate the "
+                "cache (no network egress in this environment)"
+            )
+        self.model = fasttext.load_model(model_file)
+        self._is_model_loaded = True
+
+    def _map_strings_to_indices(self, tokens):
+        length = min(len(tokens), self.max_length)
+        tokens = tokens[:length]
+        output = np.full(
+            (self.max_length, self.model.get_dimension()), 0, np.float32
+        )
+        for idx, token in enumerate(tokens):
+            output[idx] = self.model.get_word_vector(token)
+        return output
+
+    def __call__(self, item):
+        from mmf_tpu.config.configuration import get_mmf_cache_dir
+
+        model_file = self.model_file or os.path.join(
+            get_mmf_cache_dir(), "wiki.en.bin"
+        )
+        self._load_fasttext_model(model_file)
+        return super().__call__(item)
+
+
+@registry.register_processor("vqa_answer")
+class VQAAnswerProcessor(BaseProcessor):
+    """Soft VQA-accuracy answer scores (reference processors.py:535-719)."""
+
+    DEFAULT_NUM_ANSWERS = 10
+
+    def __init__(self, config, *args, **kwargs):
+        if "vocab_file" not in config:
+            raise AttributeError(
+                "'vocab_file' argument required, but not present in "
+                "AnswerProcessor's config"
+            )
+        self.answer_vocab = VocabDict(
+            config["vocab_file"], kwargs.get("data_dir", None)
+        )
+        self.PAD_IDX = self.answer_vocab.word2idx("<pad>")
+        self.BOS_IDX = self.answer_vocab.word2idx("<s>")
+        self.EOS_IDX = self.answer_vocab.word2idx("</s>")
+        self.UNK_IDX = self.answer_vocab.UNK_INDEX
+        if self.EOS_IDX == self.UNK_IDX:
+            self.EOS_IDX = len(self.answer_vocab)
+
+        self.preprocessor = None
+        if "preprocessor" in config:
+            self.preprocessor = Processor(config["preprocessor"])
+        self.num_answers = config.get("num_answers", self.DEFAULT_NUM_ANSWERS)
+
+    def __call__(self, item):
+        tokens = []
+        if not isinstance(item, dict):
+            raise TypeError("'item' passed to processor must be a dict")
+        if "answer_tokens" in item:
+            tokens = item["answer_tokens"]
+        elif "answers" in item and item["answers"] is not None:
+            if self.preprocessor is None:
+                raise AssertionError(
+                    "'preprocessor' must be defined if you don't pass "
+                    "'answer_tokens'"
+                )
+            tokens = [
+                self.preprocessor({"text": answer})["text"]
+                for answer in item["answers"]
+            ]
+        else:
+            raise AssertionError(
+                "'answers' or 'answer_tokens' must be passed to answer "
+                "processor in a dict"
+            )
+        if len(tokens) != 0:
+            tokens = self._increase_to_ten(tokens)
+        answers_indices = np.full(
+            self.DEFAULT_NUM_ANSWERS, self.answer_vocab.get_unk_index(),
+            np.int64,
+        )
+        for idx, token in enumerate(tokens):
+            answers_indices[idx] = self.answer_vocab.word2idx(token)
+        answers_scores = self.compute_answers_scores(answers_indices)
+        return {
+            "answers": tokens,
+            "answers_indices": answers_indices,
+            "answers_scores": answers_scores,
+        }
+
+    def get_vocab_size(self):
+        return self.answer_vocab.num_vocab
+
+    def get_true_vocab_size(self):
+        return self.answer_vocab.num_vocab
+
+    def word2idx(self, word):
+        return self.answer_vocab.word2idx(word)
+
+    def idx2word(self, idx):
+        return self.answer_vocab.idx2word(idx)
+
+    def compute_answers_scores(self, answers_indices):
+        """(reference processors.py:686-713)"""
+        scores = np.zeros(self.get_vocab_size(), np.float32)
+        gt_answers = list(enumerate(answers_indices))
+        unique_answers = set(answers_indices.tolist())
+        for answer in unique_answers:
+            accs = []
+            for gt_answer in gt_answers:
+                other = [item for item in gt_answers if item != gt_answer]
+                matching = [item for item in other if item[1] == answer]
+                accs.append(min(1, float(len(matching)) / 3))
+            avg_acc = sum(accs) / len(accs)
+            if answer != self.answer_vocab.UNK_INDEX:
+                scores[answer] = avg_acc
+        return scores
+
+    def _increase_to_ten(self, tokens):
+        while len(tokens) < self.DEFAULT_NUM_ANSWERS:
+            tokens += tokens[: self.DEFAULT_NUM_ANSWERS - len(tokens)]
+        return tokens
+
+
+@registry.register_processor("graph_vqa_answer")
+class GraphVQAAnswerProcessor(VQAAnswerProcessor):
+    """VQAAnswerProcessor + concept vocab for graph models
+    (reference processors.py:722-945)."""
+
+    def __init__(self, config, *args, **kwargs):
+        super().__init__(config, *args, **kwargs)
+        self.concept_vocab = None
+        if "concept_vocab_file" in config:
+            self.concept_vocab = VocabDict(
+                config["concept_vocab_file"], kwargs.get("data_dir", None)
+            )
+
+
+@registry.register_processor("multi_hot_answer_from_vocab")
+class MultiHotAnswerFromVocabProcessor(VQAAnswerProcessor):
+    """Multi-hot target instead of soft scores (reference processors.py:948)."""
+
+    def compute_answers_scores(self, answers_indices):
+        scores = np.zeros(self.get_vocab_size(), np.float32)
+        scores[np.asarray(answers_indices, np.int64)] = 1
+        scores[self.answer_vocab.UNK_INDEX] = 0
+        return scores
+
+
+@registry.register_processor("soft_copy_answer")
+class SoftCopyAnswerProcessor(VQAAnswerProcessor):
+    """Adds dynamic OCR-copy answer space (reference processors.py:960-1051)."""
+
+    DEFAULT_MAX_LENGTH = 50
+
+    def __init__(self, config, *args, **kwargs):
+        super().__init__(config, *args, **kwargs)
+        self.use_soft_copy = True
+        if "max_length" in config:
+            self.max_length = config["max_length"]
+        else:
+            self.max_length = self.DEFAULT_MAX_LENGTH
+            warnings.warn(
+                "'max_length' not defined in the config. Setting to default "
+                f"of {self.DEFAULT_MAX_LENGTH}"
+            )
+        self.context_preprocessor = None
+        if "context_preprocessor" in config:
+            self.context_preprocessor = Processor(config["context_preprocessor"])
+
+    def get_vocab_size(self):
+        return self.answer_vocab.num_vocab + self.max_length
+
+    def get_true_vocab_size(self):
+        return self.answer_vocab.num_vocab
+
+    def __call__(self, item):
+        answers = item["answers"]
+        scores = super().__call__({"answers": answers})
+
+        indices = scores["answers_indices"]
+        answers = scores["answers"]
+        scores = scores["answers_scores"]
+
+        tokens_scores = np.zeros(self.max_length, np.float32)
+        tokens = item["tokens"]
+        length = min(len(tokens), self.max_length)
+
+        gt_answers = list(enumerate(answers))
+        if self.context_preprocessor is not None:
+            tokens = [
+                self.context_preprocessor({"text": token})["text"]
+                for token in tokens
+            ]
+        answer_counter = collections.Counter(answers)
+        for idx, token in enumerate(tokens[:length]):
+            if answer_counter[token] == 0:
+                continue
+            accs = []
+            for gt_answer in gt_answers:
+                other = [item for item in gt_answers if item != gt_answer]
+                matching = [item for item in other if item[1] == token]
+                accs.append(min(1, float(len(matching)) / 3))
+            tokens_scores[idx] = sum(accs) / len(accs)
+
+        # scores are already vocab+copy sized (compute_answers_scores uses
+        # the overridden get_vocab_size); fill the copy span
+        scores[-len(tokens_scores):] = tokens_scores
+        return {
+            "answers": answers,
+            "answers_indices": indices,
+            "answers_scores": scores,
+        }
+
+
+@registry.register_processor("simple_word")
+class SimpleWordProcessor(BaseProcessor):
+    """(reference processors.py:1054-1069)"""
+
+    def __init__(self, *args, **kwargs):
+        self.tokenizer = word_tokenize
+
+    def __call__(self, item, *args, **kwargs):
+        return {"text": self.tokenizer(item["text"], *args, **kwargs)}
+
+
+@registry.register_processor("simple_sentence")
+class SimpleSentenceProcessor(BaseProcessor):
+    """(reference processors.py:1072-1087)"""
+
+    def __init__(self, *args, **kwargs):
+        self.tokenizer = tokenize
+
+    def __call__(self, item, *args, **kwargs):
+        return {"text": self.tokenizer(item["text"], *args, **kwargs)}
+
+
+@registry.register_processor("bbox")
+class BBoxProcessor(VocabProcessor):
+    """imdb bbox -> padded normalized array (reference processors.py:1090)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.max_length = config.get("max_length", 50)
+
+    def __call__(self, item):
+        info = item["info"]
+        if self.lmdb_loader is not None:  # pragma: no cover
+            info.update(self.lmdb_loader(item))
+        bbox = np.zeros((self.max_length, 4), np.float32)
+        n = min(len(info["bbox"]), self.max_length)
+        bbox[:n] = np.asarray(info["bbox"], np.float32)[:n]
+        return {"bbox": bbox}
+
+    lmdb_loader = None
+
+
+@registry.register_processor("caption")
+class CaptionProcessor(BaseProcessor):
+    """De-tokenize caption indices into a sentence
+    (reference processors.py:1142-1171)."""
+
+    def __init__(self, config, *args, **kwargs):
+        if not config.get("vocab"):
+            raise AttributeError(
+                "config passed to the processor has no attribute vocab"
+            )
+        from mmf_tpu.utils.vocab import Vocab
+
+        self.vocab = Vocab(*args, **config["vocab"], **kwargs)
+
+    def __call__(self, item):
+        for idx, v in enumerate(item):
+            if v == self.vocab.EOS_INDEX:
+                item = item[:idx]
+                break
+        tokens = [
+            self.vocab.get_itos()[int(w)]
+            for w in item
+            if w
+            not in {
+                self.vocab.SOS_INDEX, self.vocab.EOS_INDEX,
+                self.vocab.PAD_INDEX,
+            }
+        ]
+        caption = " ".join(tokens)
+        return {"tokens": tokens, "caption": caption}
+
+
+@registry.register_processor("evalai_answer")
+class EvalAIAnswerProcessor(BaseProcessor):
+    """(reference processors.py:1174-1382) — EvalAI normalization rules live
+    in utils.m4c_evaluators; this registered processor wraps them."""
+
+    def __init__(self, *args, **kwargs):
+        from mmf_tpu.utils.m4c_evaluators import (
+            EvalAIAnswerProcessor as _Impl,
+        )
+
+        self._impl = _Impl()
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._impl, name)
+
+    def __call__(self, item):
+        return self._impl(item)
+
+
+@registry.register_processor("phoc")
+class PhocProcessor(VocabProcessor):
+    """Compute PHOC features for OCR tokens (reference processors.py:1385)."""
+
+    def __init__(self, config, *args, **kwargs):
+        from mmf_tpu.utils.phoc.build_phoc import build_phoc
+
+        self._build_phoc = build_phoc
+        self.config = config
+        self._init_extras(config)
+
+    def _map_strings_to_indices(self, tokens):
+        from mmf_tpu.utils.phoc.build_phoc import build_phoc_batch
+
+        length = min(len(tokens), self.max_length)
+        tokens = tokens[:length]
+        phoc_dim = 604
+        output = np.zeros((self.max_length, phoc_dim), np.float32)
+        if tokens:
+            output[:length] = build_phoc_batch(list(tokens))
+        return output
+
+
+@registry.register_processor("copy")
+class CopyProcessor(BaseProcessor):
+    """Copy a tensor padded to max_length (reference processors.py:1413)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.max_length = config["max_length"]
+
+    def __call__(self, item):
+        blob = item["blob"]
+        final_blob = np.zeros((self.max_length,) + blob.shape[1:], blob.dtype)
+        final_blob[: len(blob)] = blob[: self.max_length]
+        return {"blob": final_blob}
+
+
+@registry.register_processor("m4c_answer")
+class M4CAnswerProcessor(BaseProcessor):
+    """Fixed-vocab + OCR-copy decoding targets for M4C
+    (reference processors.py:1430-1607)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.answer_vocab = VocabDict(
+            config["vocab_file"], kwargs.get("data_dir", None)
+        )
+        self.PAD_IDX = self.answer_vocab.word2idx("<pad>")
+        self.BOS_IDX = self.answer_vocab.word2idx("<s>")
+        self.EOS_IDX = self.answer_vocab.word2idx("</s>")
+        self.UNK_IDX = self.answer_vocab.UNK_INDEX
+        assert self.PAD_IDX != self.answer_vocab.UNK_INDEX
+        assert self.BOS_IDX != self.answer_vocab.UNK_INDEX
+        assert self.EOS_IDX != self.answer_vocab.UNK_INDEX
+        assert self.PAD_IDX == 0
+
+        self.answer_preprocessor = Processor(config["preprocessor"])
+        assert self.answer_preprocessor is not None
+        self.num_answers = config["num_answers"]
+        self.max_length = config["max_length"]
+        self.max_copy_steps = config["max_copy_steps"]
+        assert self.max_copy_steps >= 1
+        self.match_answer_to_unk = False
+
+    def tokenize(self, sentence):
+        return sentence.split()
+
+    def match_answer_to_vocab_ocr_seq(self, answer, vocab2idx_dict,
+                                      ocr2inds_dict, max_match_num=20):
+        """(reference processors.py:1464-1505)"""
+        num_vocab = len(vocab2idx_dict)
+        answer_words = self.tokenize(answer)
+        answer_word_matches = []
+        for word in answer_words:
+            matched_inds = []
+            if word in vocab2idx_dict:
+                matched_inds.append(vocab2idx_dict.get(word))
+            matched_inds.extend(
+                [num_vocab + idx for idx in ocr2inds_dict[word]]
+            )
+            if len(matched_inds) == 0:
+                if self.match_answer_to_unk:
+                    matched_inds.append(vocab2idx_dict.get("<unk>"))
+                else:
+                    return []
+            answer_word_matches.append(matched_inds)
+        if len(answer_word_matches) == 0:
+            return []
+        idx_seq_list = [()]
+        for matched_inds in answer_word_matches:
+            idx_seq_list = [
+                seq + (idx,) for seq in idx_seq_list for idx in matched_inds
+            ]
+            if len(idx_seq_list) > max_match_num:
+                idx_seq_list = idx_seq_list[:max_match_num]
+        return idx_seq_list
+
+    def get_vocab_size(self):
+        return self.answer_vocab.num_vocab + self.max_length
+
+    def get_true_vocab_size(self):
+        return self.answer_vocab.num_vocab
+
+    def compute_answer_scores(self, answers):
+        gt_answers = list(enumerate(answers))
+        unique_answers = sorted(set(answers))
+        unique_answer2score = {}
+        for unique_answer in unique_answers:
+            accs = []
+            for gt_answer in gt_answers:
+                other = [item for item in gt_answers if item != gt_answer]
+                matching = [
+                    item for item in other if item[1] == unique_answer
+                ]
+                accs.append(min(1, float(len(matching)) / 3))
+            unique_answer2score[unique_answer] = sum(accs) / len(accs)
+        return unique_answer2score
+
+    def __call__(self, item):
+        answers = item["answers"]
+        if not answers:
+            return {
+                "sampled_idx_seq": None,
+                "train_prev_inds": np.zeros(self.max_copy_steps, np.int64),
+            }
+        answers = [
+            self.answer_preprocessor({"text": a})["text"] for a in answers
+        ]
+        assert len(answers) == self.num_answers
+        unique_answer2score = self.compute_answer_scores(answers)
+
+        scores = np.zeros(
+            (self.max_copy_steps, self.get_vocab_size()), np.float32
+        )
+        ocr2inds_dict = defaultdict(list)
+        for idx, token in enumerate(item["tokens"]):
+            ocr2inds_dict[token].append(idx)
+        answer_dec_inds = [
+            self.match_answer_to_vocab_ocr_seq(
+                a, self.answer_vocab.word2idx_dict, ocr2inds_dict
+            )
+            for a in answers
+        ]
+
+        all_idx_seq_list = []
+        for answer, idx_seq_list in zip(answers, answer_dec_inds):
+            all_idx_seq_list.extend(idx_seq_list)
+            score = unique_answer2score[answer]
+            for idx_seq in idx_seq_list:
+                score_idx = idx_seq[0]
+                scores[0, score_idx] = max(scores[0, score_idx], score)
+
+        train_prev_inds = np.zeros(self.max_copy_steps, np.int64)
+        train_loss_mask = np.zeros(self.max_copy_steps, np.float32)
+        if len(all_idx_seq_list) > 0:
+            idx_seq = all_idx_seq_list[np.random.choice(len(all_idx_seq_list))]
+            dec_step_num = min(1 + len(idx_seq), self.max_copy_steps)
+            train_loss_mask[:dec_step_num] = 1.0
+            train_prev_inds[0] = self.BOS_IDX
+            for t in range(1, dec_step_num):
+                train_prev_inds[t] = idx_seq[t - 1]
+                score_idx = idx_seq[t] if t < len(idx_seq) else self.EOS_IDX
+                scores[t, score_idx] = 1.0
+        else:
+            idx_seq = ()
+
+        return {
+            "answers": answers,
+            "answers_scores": scores,
+            "sampled_idx_seq": idx_seq,
+            "train_prev_inds": train_prev_inds,
+            "train_loss_mask": train_loss_mask,
+        }
+
+
+@registry.register_processor("m4c_caption")
+class M4CCaptionProcessor(M4CAnswerProcessor):
+    """(reference processors.py:1610-1634)"""
+
+    def __init__(self, config, *args, **kwargs):
+        super().__init__(config, *args, **kwargs)
+        import re
+
+        self.SENTENCE_SPLIT_REGEX = re.compile(r"(\W+)")
+        self.match_answer_to_unk = True
+
+    def tokenize(self, sentence):
+        sentence = sentence.lower()
+        sentence = (
+            sentence.replace(",", "").replace("?", "").replace(".", "")
+            .replace("'s", " 's")
+        )
+        tokens = self.SENTENCE_SPLIT_REGEX.split(sentence)
+        return [t.strip() for t in tokens if len(t.strip()) > 0]
+
+    def compute_answer_scores(self, answers):
+        return {a: 1.0 for a in answers}
+
+
+@registry.register_processor("masked_region")
+class MaskedRegionProcessor(BaseProcessor):
+    """Mask regions for masked-region pretraining
+    (reference processors.py:1637-1663)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.mask_prob = config.get("mask_probability", 0.15)
+        self.mask_region_prob = config.get("mask_region_probability", 0.9)
+
+    def __call__(self, item):
+        image_labels = []
+        image_feature = np.array(item, copy=True)
+        for i in range(image_feature.shape[0]):
+            prob = random.random()
+            if prob < self.mask_prob:
+                prob /= self.mask_prob
+                if prob < self.mask_region_prob:
+                    image_feature[i] = 0
+                image_labels.append(1)
+            else:
+                image_labels.append(-1)
+        item = image_feature
+        return image_feature, np.asarray(image_labels, np.int64)
+
+
+@registry.register_processor("transformer_bbox")
+class TransformerBboxProcessor(BaseProcessor):
+    """Normalize bbox + area features (reference processors.py:1666-1700)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.bbox_key = config.get("bbox_key", "bbox")
+        self.image_width_key = config.get("image_width_key", "image_width")
+        self.image_height_key = config.get("image_height_key", "image_height")
+
+    def __call__(self, item):
+        info = item["info"]
+        image_w = float(info[self.image_width_key])
+        image_h = float(info[self.image_height_key])
+        bbox = np.asarray(info[self.bbox_key], np.float32)
+        image_location = np.zeros((bbox.shape[0], 5), np.float32)
+        image_location[:, :4] = bbox
+        image_location[:, 4] = (
+            (image_location[:, 3] - image_location[:, 1])
+            * (image_location[:, 2] - image_location[:, 0])
+            / (image_w * image_h)
+        )
+        image_location[:, 0] /= image_w
+        image_location[:, 1] /= image_h
+        image_location[:, 2] /= image_w
+        image_location[:, 3] /= image_h
+        return {"bbox": image_location}
+
+
+@registry.register_processor("multi_class_from_file")
+class MultiClassFromFile(BaseProcessor):
+    """Label string -> class index from a classes file
+    (reference processors.py:1703-1724)."""
+
+    def __init__(self, config, *args, **kwargs):
+        self.label_vocab = VocabDict(
+            config["vocab_file"], kwargs.get("data_dir", None)
+        )
+
+    def __call__(self, item):
+        label = item["label"] if isinstance(item, dict) else item
+        # Remove UNK by subtracting 1 from output (reference behavior)
+        index = self.label_vocab.word2idx(label) - 1
+        assert index != -1, f"{label} is not present in vocab file"
+        return {"class_index": np.int64(index)}
+
+
+@registry.register_processor("detr_image_and_target")
+class DETRImageAndTargetProcessor(BaseProcessor):
+    """DETR-style train-time image/target transforms
+    (reference processors.py:1727-1777), built on the detection transforms."""
+
+    def __init__(self, config, *args, **kwargs):
+        from mmf_tpu.datasets.processors import detection_transforms as T
+
+        train_image_sizes = list(
+            config.get(
+                "train_image_sizes",
+                [480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800],
+            )
+        )
+        self.training_transform = T.Compose(
+            [
+                T.RandomHorizontalFlip(),
+                T.RandomResize(train_image_sizes, max_size=1333),
+                T.ToTensor(),
+                T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+            ]
+        )
+        self.inference_transform = T.Compose(
+            [
+                T.RandomResize([config.get("test_image_size", 800)],
+                               max_size=1333),
+                T.ToTensor(),
+                T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225]),
+            ]
+        )
+
+    def __call__(self, item):
+        dataset_type = item["dataset_type"]
+        img = item["img"]
+        target = item["target"]
+        if dataset_type == "train":
+            img, target = self.training_transform(img, target)
+        else:
+            img, target = self.inference_transform(img, target)
+        return {"img": img, "target": target}
