@@ -129,7 +129,11 @@ def get_zoo_config(
     resources = None
     if zoo_config_path is None:
         zoo_config_path = os.path.join("configs", "zoo", f"{zoo_type}.yaml")
-    zoo = load_yaml(zoo_config_path)
+    try:
+        zoo = load_yaml(zoo_config_path)
+    except FileNotFoundError:
+        warnings.warn(f"Zoo config {zoo_config_path} not found; skipping")
+        return version, resources
 
     # assume the config zoo has the same hierarchy as the keys
     for sub_key in key.split("."):

@@ -1,0 +1,24 @@
+"""gqa builder (parity with mmf/datasets/builders/gqa/builder.py):
+a VQA2-format dataset with its own config tree."""
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.datasets.builders.vqa2.builder import VQA2Builder
+from mmf_tpu.datasets.builders.vqa2.dataset import VQA2Dataset
+
+
+class GqaDataset(VQA2Dataset):
+    def __init__(self, config, dataset_type, imdb_file_index=0, *args, **kwargs):
+        super().__init__(config, dataset_type, imdb_file_index,
+                         dataset_name="gqa", *args, **kwargs)
+
+
+@registry.register_builder("gqa")
+class GqaBuilder(VQA2Builder):
+    def __init__(self, dataset_name="gqa", dataset_class=GqaDataset,
+                 *args, **kwargs):
+        super().__init__(dataset_name, dataset_class)
+        self.dataset_class = GqaDataset
+
+    @classmethod
+    def config_path(cls):
+        return "configs/datasets/gqa/defaults.yaml"

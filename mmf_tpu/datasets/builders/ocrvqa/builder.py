@@ -1,0 +1,24 @@
+"""ocrvqa builder (parity with mmf/datasets/builders/ocrvqa/builder.py):
+TextVQA-format (M4C) dataset with its own config tree."""
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.datasets.builders.textvqa.builder import TextVQABuilder
+from mmf_tpu.datasets.builders.textvqa.dataset import TextVQADataset
+
+
+class OcrvqaDataset(TextVQADataset):
+    def __init__(self, config, dataset_type, imdb_file_index=0, *args, **kwargs):
+        super().__init__(config, dataset_type, imdb_file_index,
+                         dataset_name="ocrvqa", *args, **kwargs)
+
+
+@registry.register_builder("ocrvqa")
+class OcrvqaBuilder(TextVQABuilder):
+    def __init__(self, dataset_name="ocrvqa", dataset_class=OcrvqaDataset,
+                 *args, **kwargs):
+        super().__init__(dataset_name, dataset_class)
+        self.dataset_class = OcrvqaDataset
+
+    @classmethod
+    def config_path(cls):
+        return "configs/datasets/ocrvqa/defaults.yaml"

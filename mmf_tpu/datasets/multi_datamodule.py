@@ -45,6 +45,9 @@ def build_datamodules(config) -> Dict[str, object]:
         dataset_config = config["dataset_config"].get(dataset, {})
         builder.prepare_data(dataset_config)
         builder.setup(dataset_config)
+        # cross-layer metadata: answer-vocab sizes etc. (the M4C pattern)
+        if hasattr(builder, "update_registry_for_model"):
+            builder.update_registry_for_model(dataset_config)
         datamodules[dataset] = builder
     return datamodules
 

@@ -431,7 +431,8 @@ class MMFTrainer(BaseTrainer):
                 )
                 report = Report(batch, output).to_numpy()
                 reporter.add_to_report(report, self.model)
-            reporter.flush_report()
+        # the final next_dataset() call (returning False) flushed the last
+        # dataset's report already
         self._fire("on_prediction_end")
 
     def inference(self):

@@ -127,7 +127,7 @@ def mark_done(path: str, version_string: Optional[str] = None):
     with open(os.path.join(path, ".built"), "w") as f:
         f.write(str(datetime.datetime.today()))
         if version_string:
-            f.write("\n" + version_string)
+            f.write("\n" + str(version_string))
 
 
 def download_pretrained_model(model_name: str, *args, **kwargs) -> str:
