@@ -1,0 +1,165 @@
+"""BUTD captioner (parity with mmf/models/butd.py:179).
+
+Bottom-up top-down attention captioning: per decode step, a top-down
+attention LSTM conditioned on the previous word attends over region
+features, and a language LSTM emits the next-word distribution.
+
+Decoding differences from the reference (deliberate, TPU-first):
+  - teacher forcing and greedy decoding run at FIXED timesteps inside one
+    jit (the reference shrinks the batch as captions finish — a dynamic
+    shape; we keep full batch and let the caption mask zero the loss);
+  - beam_search / nucleus_sampling run host-side through the registered
+    decoders in utils/text.py driving the jitted single-step function.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.pythia import Pythia
+from mmf_tpu.modules.layers import TopDownAttentionLSTM, wn_dense
+from mmf_tpu.modules.decoders import LanguageDecoder
+
+
+class BUTDStep(nn.Module):
+    """One decode step: attention LSTM -> attend -> language LSTM."""
+
+    attention_dim: int
+    hidden_dim: int
+    vocab_size: int
+    dropout: float = 0.5
+    fc_bias_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, image_feat, prev_embedding, state, feature_mask,
+                 deterministic=True):
+        joint, state = TopDownAttentionLSTM(
+            self.attention_dim, self.hidden_dim, self.dropout,
+            name="top_down_attention",
+        )(image_feat, prev_embedding, state, deterministic)
+        raw_attn = wn_dense(1, name="attn_transform")(joint)  # [B, K, 1]
+        if feature_mask is not None:
+            raw_attn = jnp.where(
+                feature_mask[..., None] > 0, raw_attn, -1e9
+            )
+        attn = nn.softmax(raw_attn, axis=1)
+        weighted = jnp.sum(attn * image_feat, axis=1)  # [B, feat_dim]
+        scores, state = LanguageDecoder(
+            0, self.vocab_size, self.hidden_dim, self.dropout,
+            self.fc_bias_init, name="language_decoder",
+        )(weighted, state, deterministic)
+        return scores, state
+
+
+@registry.register_model("butd")
+class BUTD(Pythia):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/butd/defaults.yaml"
+
+    def _vocab_size(self):
+        tp = registry.get(
+            self._datasets()[0] + "_text_processor", no_warning=True
+        )
+        if tp is not None and hasattr(tp, "get_vocab_size"):
+            return tp.get_vocab_size()
+        return self.config.get("text_vocab_size", 10000)
+
+    def _max_length(self):
+        tp = registry.get(
+            self._datasets()[0] + "_text_processor", no_warning=True
+        )
+        if tp is not None and hasattr(tp, "max_length"):
+            return tp.max_length
+        return self.config.get("max_length", 52)
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        deterministic = not train
+        cfg = self.config
+        vocab_size = self._vocab_size()
+        max_length = self._max_length()
+        hidden_dim = cfg["classifier"]["params"]["hidden_dim"]
+        attention_dim = cfg["attention"]["params"].get(
+            "attention_dim", hidden_dim
+        ) if "attention" in cfg else hidden_dim
+        embedding_dim = cfg.get("embedding_dim", 300)
+        inference_type = cfg.get("inference", {}).get("type", "greedy")
+
+        word_embedding = nn.Embed(
+            vocab_size, embedding_dim, name="word_embedding"
+        )
+
+        # encode features (fc7 finetune etc.)
+        from mmf_tpu.modules.encoders import build_image_encoder
+
+        feature = sample_list["image_feature_0"]
+        enc_cfg = cfg["image_feature_encodings"]
+        if isinstance(enc_cfg, (list, tuple)):
+            enc_cfg = enc_cfg[0]
+        encoder = build_image_encoder(dict(enc_cfg), direct_features=True)
+        image_feat = encoder(feature)
+        info = sample_list.get("image_info_0", {}) or {}
+        max_feats = info.get("max_features", None)
+        feature_mask = None
+        if max_feats is not None:
+            feature_mask = (
+                jnp.arange(image_feat.shape[1])[None, :]
+                < max_feats.reshape(-1, 1)
+            ).astype(jnp.float32)
+
+        B = image_feat.shape[0]
+        step = BUTDStep(
+            attention_dim, hidden_dim, vocab_size,
+            cfg["classifier"]["params"].get("dropout", 0.5),
+            cfg["classifier"]["params"].get("fc_bias_init", 0.0),
+            name="step",
+        )
+
+        def init_state():
+            z = jnp.zeros((B, hidden_dim), jnp.float32)
+            return {"td_hidden": (z, z), "lm_hidden": (z, z)}
+
+        teacher_forcing = train and "text" in sample_list
+        state = init_state()
+        scores_list = []
+
+        if teacher_forcing:
+            texts = sample_list["text"].astype(jnp.int32)
+            timesteps = min(max_length, texts.shape[1])
+            for t in range(timesteps):
+                emb = word_embedding(texts[:, t])
+                out, state = step(
+                    image_feat, emb, state, feature_mask, deterministic
+                )
+                scores_list.append(out)
+        else:
+            sos = registry.get("butd_sos_index", no_warning=True) or 1
+            prev = jnp.full((B,), sos, jnp.int32)
+            for t in range(max_length):
+                emb = word_embedding(prev)
+                out, state = step(
+                    image_feat, emb, state, feature_mask, deterministic
+                )
+                scores_list.append(out)
+                prev = jnp.argmax(out, axis=-1).astype(jnp.int32)
+
+        scores = jnp.stack(scores_list, axis=1)  # [B, T, V]
+        if scores.shape[1] < max_length:
+            scores = jnp.pad(
+                scores,
+                ((0, 0), (0, max_length - scores.shape[1]), (0, 0)),
+                constant_values=1.0,
+            )
+        output: Dict[str, Any] = {"scores": scores}
+        if inference_type in ("beam_search", "nucleus_sampling") and not train:
+            # host-side decoding consumes per-step log-probs; expose greedy
+            # captions for the caption metrics meanwhile
+            output["captions"] = jnp.argmax(scores, axis=-1)
+        return output

@@ -1,0 +1,90 @@
+"""MoVie+MCAN: grid-feature MCAN with MoVie counting branch
+(parity with mmf/models/movie_mcan.py:274)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.modules.embeddings import SAEmbedding, TwoBranchEmbedding
+from mmf_tpu.modules.layers import BranchCombineLayer, TripleLinear
+
+
+@registry.register_model("movie_mcan")
+class MoVieMcan(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/movie_mcan/defaults.yaml"
+
+    def _dataset(self):
+        cfg = registry.get("config", no_warning=True)
+        if cfg is not None and cfg.get("datasets", None):
+            d = cfg["datasets"]
+            return (d.split(",") if isinstance(d, str) else list(d))[0]
+        return "vqa2"
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        deterministic = not train
+        c = self.config
+        te = c["text_embeddings"]["params"]
+        fe = c["image_feature_embeddings"]["params"]
+
+        vocab_size = registry.get(
+            self._dataset() + "_text_vocab_size", no_warning=True
+        ) or c.get("text_vocab_size", 100000)
+        num_choices = registry.get(
+            self._dataset() + "_num_final_outputs", no_warning=True
+        ) or c.get("num_labels", 3129)
+
+        texts = nn.Embed(vocab_size, 300, name="word_embedding")(
+            sample_list["text"].astype(jnp.int32)
+        )
+        text_mask = sample_list.get("text_mask", None)
+
+        text_total, text_vec = SAEmbedding(
+            te["hidden_dim"], te.get("embedding_dim", 300),
+            num_attn=te.get("num_attn", 8),
+            num_layers=te.get("num_layers", 6),
+            dropout=te.get("dropout", 0.1),
+            num_attn_pool=te.get("num_attn_pool", 1),
+            num_feat=te.get("num_feat", 2),
+            name="text_embeddings",
+        )(texts, text_mask, deterministic)
+
+        # grid features: [B, C, H, W] from image or flattened features
+        if "image" in sample_list:
+            feature = sample_list["image"]
+        else:
+            feature = sample_list["image_feature_0"]
+            if feature.ndim == 3:  # [B, K, C] -> [B, C, k, k]
+                b, k, ch = feature.shape
+                side = int(k ** 0.5)
+                feature = feature[:, : side * side].transpose(0, 2, 1)
+                feature = feature.reshape(b, ch, side, side)
+
+        x_sga, x_cbn = TwoBranchEmbedding(
+            embedding_dim=feature.shape[1],
+            cond_dim=fe.get("cond_dim", te["hidden_dim"] * 2),
+            hidden_dim=fe.get("hidden_dim", 512),
+            num_attn=fe.get("num_attn", 8),
+            num_layers=fe.get("num_layers", 6),
+            dropout=fe.get("dropout", 0.1),
+            cbn_num_layers=fe.get("cbn_num_layers", 4),
+            name="image_feature_embeddings_list",
+        )(feature, text_total, text_vec.reshape(text_vec.shape[0], -1),
+          None, text_mask, deterministic)
+
+        joint = BranchCombineLayer(
+            x_sga.shape[-1], text_vec.reshape(text_vec.shape[0], -1).shape[-1],
+            name="combine_layer",
+        )(x_sga, x_cbn, text_vec.reshape(text_vec.shape[0], -1), train)
+
+        scores = TripleLinear(num_choices, name="classifier")(joint, train)
+        return {"scores": scores}

@@ -1,0 +1,248 @@
+"""Smoke tests: construct each long-tail zoo model at tiny size from its
+default config structure and run a forward pass (the reference's
+tests/models pattern: every zoo model from default config on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.config import omega
+from mmf_tpu.config.configuration import load_yaml
+from mmf_tpu.utils.env import setup_imports
+
+setup_imports()
+
+RNG = jax.random.PRNGKey(0)
+B = 2
+
+
+def _register_dataset_meta():
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 7)
+    registry.register("vqa2_text_vocab_size", 50)
+
+
+def _vqa_batch(feat_dim=64, n_regions=5, text_len=6):
+    rng = np.random.RandomState(0)
+    return {
+        "text": jnp.asarray(rng.randint(0, 50, (B, text_len))),
+        "text_mask": jnp.ones((B, text_len), jnp.int32),
+        "image_feature_0": jnp.asarray(
+            rng.randn(B, n_regions, feat_dim).astype(np.float32)
+        ),
+        "image_info_0": {"max_features": jnp.asarray([n_regions, 3])},
+        "dataset_name": "vqa2",
+        "dataset_type": "train",
+    }
+
+
+def test_pythia_family():
+    _register_dataset_meta()
+    mc = omega.create({
+        "model_data_dir": "",
+        "classifier": {"type": "logit",
+                       "params": {"img_hidden_dim": 16,
+                                  "text_hidden_dim": 16}},
+        "image_feature_embeddings": [
+            {"modal_combine": {"type": "non_linear_element_multiply",
+                               "params": {"dropout": 0, "hidden_dim": 16}},
+             "normalization": "softmax",
+             "transform": {"type": "linear", "params": {"out_dim": 1}}}
+        ],
+        "image_feature_dim": 64,
+        "image_feature_encodings": [
+            {"type": "default", "params": {"in_dim": 64}}
+        ],
+        "image_text_modal_combine": {
+            "type": "non_linear_element_multiply",
+            "params": {"dropout": 0, "hidden_dim": 16},
+        },
+        "text_embeddings": [
+            {"type": "attention",
+             "params": {"hidden_dim": 16, "num_layers": 1, "conv1_out": 8,
+                        "conv2_out": 2, "dropout": 0, "embedding_dim": 300,
+                        "kernel_size": 1, "padding": 0}}
+        ],
+    })
+    for name in ["pythia", "pythia_question_only", "pythia_image_only"]:
+        cls = registry.get_model_class(name)
+        model = cls(config=mc)
+        batch = _vqa_batch()
+        variables = model.init(RNG, batch, False)
+        out = model.apply(variables, batch, False)
+        assert out["scores"].shape == (B, 7), name
+        assert np.isfinite(np.asarray(out["scores"])).all(), name
+
+
+def test_ban():
+    _register_dataset_meta()
+    mc = omega.create({
+        "text_embedding": {"num_hidden": 16, "emb_size": 300,
+                           "num_layers": 1, "dropout": 0,
+                           "bidirectional": False, "rnn_type": "GRU"},
+        "bilinear_attention": {"gamma": 2, "visual_feat_dim": 64,
+                               "bc_net": {"k": 1},
+                               "fc_net": {"activation": "ReLU",
+                                          "dropout": 0.2}},
+        "classifier": {"dropout": 0.5},
+    })
+    cls = registry.get_model_class("ban")
+    model = cls(config=mc)
+    batch = _vqa_batch()
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 7)
+
+
+def test_cnn_lstm():
+    registry.register("config", omega.create({"datasets": "clevr",
+                                              "training": {}}))
+    registry.register("clevr_text_vocab_size", 50)
+    registry.register("clevr_num_final_outputs", 9)
+    mc = omega.create({
+        "text_embedding": {"embedding_dim": 8},
+        "lstm": {"input_size": 8, "hidden_size": 10, "bidirectional": True,
+                 "batch_first": True},
+        "cnn": {"layers": {"input_dims": [3, 4], "output_dims": [4, 4],
+                           "kernel_sizes": [3, 3]}},
+        "classifier": {"type": "logit",
+                       "params": {"img_hidden_dim": 8,
+                                  "text_hidden_dim": 8}},
+    })
+    cls = registry.get_model_class("cnn_lstm")
+    model = cls(config=mc)
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": jnp.asarray(rng.randint(0, 50, (B, 6))),
+        "image": jnp.asarray(rng.randn(B, 3, 32, 32).astype(np.float32)),
+        "dataset_name": "clevr",
+        "dataset_type": "train",
+    }
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 9)
+
+
+def test_butd_teacher_forcing_and_greedy():
+    _register_dataset_meta()
+    mc = omega.create({
+        "model_data_dir": "",
+        "embedding_dim": 16,
+        "max_length": 5,
+        "text_vocab_size": 50,
+        "classifier": {"type": "language_decoder",
+                       "params": {"dropout": 0.0, "hidden_dim": 12,
+                                  "feature_dim": 64, "fc_bias_init": 0}},
+        "attention": {"params": {"attention_dim": 12}},
+        "image_feature_dim": 64,
+        "image_feature_encodings": [
+            {"type": "default", "params": {"in_dim": 64}}],
+        "inference": {"type": "greedy",
+                      "params": {"beam_length": 2, "sum_threshold": 0.5}},
+    })
+    cls = registry.get_model_class("butd")
+    model = cls(config=mc)
+    rng = np.random.RandomState(0)
+    batch = _vqa_batch()
+    batch["text"] = jnp.asarray(rng.randint(0, 50, (B, 5)))
+    batch["caption_len"] = jnp.asarray([5, 4])
+    batch["answers"] = jnp.asarray(rng.randint(0, 50, (B, 5, 5)))
+    # teacher forcing (train)
+    variables = model.init({"params": RNG, "dropout": RNG}, batch, True)
+    out = model.apply(variables, batch, True, rngs={"dropout": RNG})
+    assert out["scores"].shape[0] == B and out["scores"].shape[2] >= 50
+    # greedy (eval)
+    out_eval = model.apply(variables, batch, False)
+    assert np.isfinite(np.asarray(out_eval["scores"])).all()
+
+
+def test_fusion_baselines_direct_features():
+    cfgs = {
+        "concat_bert": "configs/models/fusions/concat_bert.yaml",
+        "late_fusion": "configs/models/fusions/late_fusion.yaml",
+    }
+    rng = np.random.RandomState(0)
+    for name, path in cfgs.items():
+        mc = load_yaml(path)["model_config"][name]
+        mc["direct_features_input"] = True
+        mc["text_encoder"]["params"].update(
+            {"hidden_size": 16, "num_hidden_layers": 1,
+             "num_attention_heads": 2, "vocab_size": 50}
+        )
+        mc["num_labels"] = 2
+        mc["classifier"]["params"]["hidden_size"] = 16
+        cls = registry.get_model_class(name)
+        model = cls(config=mc)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, 50, (B, 6))),
+            "input_mask": jnp.ones((B, 6), jnp.int32),
+            "segment_ids": jnp.zeros((B, 6), jnp.int32),
+            "image_feature_0": jnp.asarray(
+                rng.randn(B, 1, 32).astype(np.float32)),
+            "dataset_name": "hateful_memes",
+            "dataset_type": "train",
+        }
+        variables = model.init(RNG, batch, False)
+        out = model.apply(variables, batch, False)
+        assert out["scores"].shape == (B, 2), name
+
+
+def test_unimodal_text():
+    mc = load_yaml("configs/models/unimodal/text.yaml")["model_config"][
+        "unimodal_text"]
+    mc["text_encoder"]["params"].update(
+        {"hidden_size": 16, "num_hidden_layers": 1,
+         "num_attention_heads": 2, "vocab_size": 50})
+    mc["classifier"]["params"]["hidden_size"] = 16
+    cls = registry.get_model_class("unimodal_text")
+    model = cls(config=mc)
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 50, (B, 6))),
+        "input_mask": jnp.ones((B, 6), jnp.int32),
+        "segment_ids": jnp.zeros((B, 6), jnp.int32),
+        "dataset_name": "glue_sst2",
+        "dataset_type": "train",
+    }
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 2)
+
+
+def test_m4c_captioner():
+    registry.register("textvqa_num_final_outputs", 20)
+    mc = load_yaml("configs/models/m4c_captioner/defaults.yaml")[
+        "model_config"]["m4c_captioner"]
+    mc["text_bert"].update({"num_hidden_layers": 1, "vocab_size": 50,
+                            "hidden_size": 16, "num_attention_heads": 2})
+    mc["mmt"].update({"hidden_size": 16, "num_hidden_layers": 1,
+                      "num_attention_heads": 2})
+    mc["classifier"]["ocr_max_num"] = 4
+    mc["classifier"]["ocr_ptr_net"] = {"hidden_size": 16,
+                                       "query_key_size": 8}
+    mc["datasets"] = "textvqa"
+    cls = registry.get_model_class("m4c_captioner")
+    model = cls(config=mc)
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": jnp.asarray(rng.randint(0, 50, (B, 4))),
+        "text_len": jnp.asarray([4, 4]),
+        "image_feature_0": jnp.asarray(rng.randn(B, 3, 2048).astype(np.float32)),
+        "image_info_0": {"max_features": jnp.asarray([3, 3])},
+        "obj_bbox_coordinates": jnp.asarray(rng.rand(B, 3, 4).astype(np.float32)),
+        "context_feature_0": jnp.asarray(rng.randn(B, 4, 300).astype(np.float32)),
+        "context_feature_1": jnp.asarray(rng.randn(B, 4, 604).astype(np.float32)),
+        "image_feature_1": jnp.asarray(rng.randn(B, 4, 2048).astype(np.float32)),
+        "order_vectors": jnp.zeros((B, 4, 50), np.float32),
+        "ocr_bbox_coordinates": jnp.asarray(rng.rand(B, 4, 4).astype(np.float32)),
+        "context_info_0": {"max_features": jnp.asarray([4, 4])},
+        "train_prev_inds": jnp.zeros((B, 4), jnp.int32),
+        "dataset_name": "textvqa",
+        "dataset_type": "train",
+    }
+    variables = model.init({"params": RNG, "dropout": RNG}, batch, True)
+    out = model.apply(variables, batch, True, rngs={"dropout": RNG})
+    assert out["scores"].shape == (B, 4, 20)
