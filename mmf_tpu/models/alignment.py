@@ -1,0 +1,99 @@
+"""Image-text alignment/retrieval models: cm_shared_transformer
+(parity with mmf/models/alignment.py:106-253).
+
+Text and image encodings are projected and passed through a SHARED
+transformer layer, attention-pooled per modality, and compared with
+in-batch contrastive objectives (scores=image emb, targets=text emb —
+the retrieval metrics/losses contract).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.modules.layers import AttnPool1d
+from mmf_tpu.modules.transformer import TransformerConfig, TransformerLayer
+from mmf_tpu.modules.encoders import build_image_encoder, build_text_encoder
+from mmf_tpu.ops.attention import make_attention_bias
+
+
+@registry.register_model("cm_shared_transformer")
+class CMSharedTransformer(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/alignment/defaults.yaml"
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        deterministic = not train
+        c = self.config
+        final_dim = c.get("final_hidden_size", 512)
+        tcfg = TransformerConfig.from_dict(
+            {
+                "hidden_size": final_dim,
+                "num_attention_heads": c.get("num_attention_heads", 8),
+                "intermediate_size": final_dim * 4,
+                "dtype": c.get("dtype", "float32"),
+            }
+        )
+
+        # text branch
+        text_enc = build_text_encoder(
+            c.get("text_encoder", {"type": "transformer", "params": {}})
+        )
+        text_seq = text_enc(
+            sample_list["input_ids"], sample_list.get("input_mask"),
+            sample_list.get("segment_ids"), deterministic=deterministic,
+            return_sequence=True,
+        )
+        text_proj = nn.Dense(final_dim, name="text_projection")(text_seq)
+
+        # image branch (precomputed grid/region features or raw image)
+        if "image_feature_0" in sample_list:
+            image_feats = sample_list["image_feature_0"]
+        else:
+            image_enc = build_image_encoder(
+                c.get("modal_encoder", {"type": "resnet152", "params": {}})
+            )
+            image_feats = image_enc(sample_list["image"], not deterministic)
+        image_proj = nn.Dense(final_dim, name="image_projection")(image_feats)
+
+        # shared transformer layer over each modality separately
+        shared = TransformerLayer(tcfg, name="shared_transformer")
+        text_bias = None
+        if "input_mask" in sample_list:
+            text_bias = make_attention_bias(sample_list["input_mask"],
+                                            tcfg.dtype)
+        text_out = shared(text_proj, bias=text_bias,
+                          deterministic=deterministic)
+        image_out = shared(image_proj, deterministic=deterministic)
+
+        text_pooled = AttnPool1d(final_dim, 1, name="text_pool")(
+            text_out, text_out, deterministic=deterministic
+        )[:, 0]
+        image_pooled = AttnPool1d(final_dim, 1, name="image_pool")(
+            image_out, image_out, deterministic=deterministic
+        )[:, 0]
+
+        text_pooled = text_pooled / (
+            jnp.linalg.norm(text_pooled, axis=-1, keepdims=True) + 1e-12
+        )
+        image_pooled = image_pooled / (
+            jnp.linalg.norm(image_pooled, axis=-1, keepdims=True) + 1e-12
+        )
+        return {
+            "scores": image_pooled,
+            "targets": text_pooled,
+            "embedding_1": image_pooled,
+            "embedding_2": text_pooled,
+            "temperature": self.param(
+                "temperature", nn.initializers.constant(0.07), ()
+            ),
+        }

@@ -1,0 +1,242 @@
+"""UniT: unified transformer for detection + VQA + GLUE multi-task
+(parity with mmf/models/unit/ — unit.py, unit_base_model.py,
+transformer.py, backbone.py, misc.py; 1,681 LoC in the reference).
+
+Architecture: conv backbone (ResNet) -> DETR transformer encoder over
+image tokens (+ BERT text encoder for VL/GLUE tasks) -> per-task decoders
+with learned queries (shared or separate) -> task heads:
+  - detection: class logits + box cxcywh + Hungarian-matched losses,
+  - vqa/vl: classifier over decoder outputs,
+  - glue: classifier over text decoder outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.models.unit.matcher import HungarianMatcher
+from mmf_tpu.modules.resnet import ResNet
+from mmf_tpu.modules.transformer import (
+    TextEmbeddings,
+    TransformerConfig,
+    TransformerEncoder,
+)
+from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
+from mmf_tpu.utils.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
+
+
+def _split(x, h):
+    b, s, d = x.shape
+    return x.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
+
+
+def _merge(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class DETRDecoderLayer(nn.Module):
+    cfg: TransformerConfig
+
+    @nn.compact
+    def __call__(self, queries, memory, memory_bias=None, deterministic=True):
+        c = self.cfg
+        h = c.num_attention_heads
+        # self attention over queries
+        q = nn.Dense(c.hidden_size, name="self_q")(queries)
+        k = nn.Dense(c.hidden_size, name="self_k")(queries)
+        v = nn.Dense(c.hidden_size, name="self_v")(queries)
+        sa = _merge(dot_product_attention(_split(q, h), _split(k, h),
+                                          _split(v, h)))
+        sa = nn.Dense(c.hidden_size, name="self_out")(sa)
+        queries = nn.LayerNorm(name="ln1")(queries + nn.Dropout(
+            c.hidden_dropout_prob)(sa, deterministic))
+        # cross attention to memory
+        q = nn.Dense(c.hidden_size, name="cross_q")(queries)
+        k = nn.Dense(c.hidden_size, name="cross_k")(memory)
+        v = nn.Dense(c.hidden_size, name="cross_v")(memory)
+        ca = _merge(dot_product_attention(_split(q, h), _split(k, h),
+                                          _split(v, h), memory_bias))
+        ca = nn.Dense(c.hidden_size, name="cross_out")(ca)
+        queries = nn.LayerNorm(name="ln2")(queries + nn.Dropout(
+            c.hidden_dropout_prob)(ca, deterministic))
+        # ffn
+        ff = nn.Dense(c.intermediate_size, name="ffn1")(queries)
+        ff = nn.relu(ff)
+        ff = nn.Dense(c.hidden_size, name="ffn2")(ff)
+        queries = nn.LayerNorm(name="ln3")(queries + nn.Dropout(
+            c.hidden_dropout_prob)(ff, deterministic))
+        return queries
+
+
+@registry.register_model("unit")
+class UniT(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/unit/defaults.yaml"
+
+    def _tcfg(self):
+        c = self.config
+        hidden = c.get("hidden_size", 256)
+        return TransformerConfig.from_dict(
+            {
+                "hidden_size": hidden,
+                "num_hidden_layers": c.get("num_encoder_layers", 6),
+                "num_attention_heads": c.get("num_attention_heads", 8),
+                "intermediate_size": c.get("intermediate_size", hidden * 4),
+                "hidden_dropout_prob": c.get("dropout", 0.1),
+                "vocab_size": c.get("vocab_size", 30522),
+                "dtype": c.get("dtype", "float32"),
+            }
+        )
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        deterministic = not train
+        c = self.config
+        cfg = self._tcfg()
+        hidden = cfg.hidden_size
+        dataset = sample_list.get("dataset_name", "detection_coco")
+        task_type = c.get("task_map", {}).get(dataset, c.get(
+            "default_task_type", "detection"))
+        num_queries = c.get("num_queries", 100)
+
+        memory_parts = []
+        bias = None
+        if "image" in sample_list:
+            feats = ResNet(
+                depth=c.get("backbone_depth", 50), features_only=True,
+                name="backbone",
+            )(sample_list["image"], train)
+            b, hh, ww, ch = feats.shape
+            tokens = nn.Dense(hidden, name="input_proj")(
+                feats.reshape(b, hh * ww, ch)
+            )
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, tokens.shape[1], hidden),
+            )
+            memory_parts.append(tokens + pos)
+        elif "image_feature_0" in sample_list:
+            tokens = nn.Dense(hidden, name="input_proj")(
+                sample_list["image_feature_0"]
+            )
+            memory_parts.append(tokens)
+
+        if task_type in ("vl", "glue") and "input_ids" in sample_list:
+            text = TextEmbeddings(cfg, name="text_embeddings")(
+                sample_list["input_ids"],
+                sample_list.get("segment_ids"),
+                deterministic=deterministic,
+            )
+            text = nn.Dense(hidden, name="text_proj")(text)
+            memory_parts.append(text)
+
+        memory = jnp.concatenate(memory_parts, axis=1)
+        memory = TransformerEncoder(cfg, name="encoder")(
+            memory, bias=bias, deterministic=deterministic
+        )
+
+        B = memory.shape[0]
+        query_key = task_type if c.get("separate_decoders", True) else "shared"
+        queries = self.param(
+            f"query_embed_{query_key}", nn.initializers.normal(0.02),
+            (num_queries, hidden),
+        )
+        x = jnp.broadcast_to(queries[None], (B, num_queries, hidden))
+        for i in range(c.get("num_decoder_layers", 6)):
+            x = DETRDecoderLayer(cfg, name=f"decoder_{query_key}_{i}")(
+                x, memory, None, deterministic
+            )
+
+        ds = dataset
+        dt = sample_list.get("dataset_type", "train")
+        output: Dict[str, Any] = {}
+
+        if task_type == "detection":
+            num_classes = c.get("num_classes", 91)
+            logits = nn.Dense(num_classes + 1, name="class_embed")(x)
+            boxes = nn.sigmoid(
+                nn.Dense(4, name="bbox_embed2")(
+                    nn.relu(nn.Dense(hidden, name="bbox_embed1")(x))
+                )
+            )
+            output["scores"] = logits
+            output["pred_boxes"] = boxes
+            if train and "labels" in sample_list and "boxes" in sample_list:
+                losses = self._detection_losses(
+                    logits, boxes, sample_list, num_classes
+                )
+                output["losses"] = {
+                    f"{dt}/{ds}/{k}": v for k, v in losses.items()
+                }
+        else:
+            num_labels = c.get("heads", {}).get(dataset, {}).get(
+                "num_labels", c.get("num_labels", 3129)
+            )
+            pooled = x[:, 0]
+            h1 = nn.relu(nn.Dense(hidden, name=f"clf1_{dataset}")(pooled))
+            logits = nn.Dense(num_labels, name=f"clf2_{dataset}")(h1)
+            output["scores"] = logits.reshape(-1, num_labels)
+        return output
+
+    def _detection_losses(self, logits, boxes, sample_list, num_classes):
+        """Hungarian-matched CE + L1 + GIoU losses (reference
+        unit_base_model.py)."""
+        tgt_labels = sample_list["labels"]  # [B, T] padded with -1
+        tgt_boxes = sample_list["boxes"]    # [B, T, 4] cxcywh
+        num_targets = jnp.sum(tgt_labels >= 0, axis=1)
+
+        matcher = HungarianMatcher(
+            self.config.get("cost_class", 1.0),
+            self.config.get("cost_bbox", 5.0),
+            self.config.get("cost_giou", 2.0),
+        )
+        safe_labels = jnp.where(tgt_labels < 0, 0, tgt_labels)
+        match = matcher(
+            logits, boxes, safe_labels, tgt_boxes, num_targets
+        )  # [B, Q] target idx or -1
+
+        matched = match >= 0
+        safe_match = jnp.where(matched, match, 0)
+        # class targets: matched -> label; unmatched -> no-object class
+        cls_target = jnp.where(
+            matched,
+            jnp.take_along_axis(safe_labels, safe_match, axis=1),
+            num_classes,
+        )
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ce = -jnp.take_along_axis(lp, cls_target[..., None], -1)[..., 0]
+        # reference down-weights the no-object class (eos_coef 0.1)
+        weights = jnp.where(matched, 1.0, self.config.get("eos_coef", 0.1))
+        loss_ce = jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+        mboxes = jnp.take_along_axis(
+            tgt_boxes, safe_match[..., None], axis=1
+        )
+        l1 = jnp.sum(jnp.abs(boxes - mboxes), axis=-1)
+        denom = jnp.maximum(jnp.sum(matched), 1)
+        loss_bbox = jnp.sum(l1 * matched) / denom
+
+        def giou_b(pb, tb):
+            return jnp.diagonal(
+                generalized_box_iou(
+                    box_cxcywh_to_xyxy(pb), box_cxcywh_to_xyxy(tb)
+                )
+            )
+
+        giou = jax.vmap(giou_b)(boxes, mboxes)
+        loss_giou = jnp.sum((1 - giou) * matched) / denom
+        return {
+            "detection_ce": loss_ce,
+            "detection_bbox": loss_bbox * self.config.get("bbox_coef", 5.0),
+            "detection_giou": loss_giou * self.config.get("giou_coef", 2.0),
+        }

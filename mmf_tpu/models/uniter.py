@@ -1,0 +1,237 @@
+"""UNITER: single-stream joint V-L encoder with per-task heads
+(parity with mmf/models/uniter.py:773).
+
+Text embeddings + image-region embeddings (feature + 7-dim position box)
+share one BERT trunk; pretraining samples a task per step from
+{mlm, itm, mrc, mrfr, wra} (host-side choice — each task traces once and
+is cached), classification dispatches per dataset.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.models.base_model import BaseModel
+from mmf_tpu.models.transformers.base import build_head
+from mmf_tpu.modules.transformer import (
+    Pooler,
+    TextEmbeddings,
+    TransformerConfig,
+    TransformerEncoder,
+)
+from mmf_tpu.ops.attention import make_attention_bias
+
+DEFAULT_PRETRAINING_TASKS = "mlm,itm,mrc,mrfr,wra"
+
+
+class UNITERImageEmbeddings(nn.Module):
+    """Region feature + position embeddings (reference uniter.py:45-90)."""
+
+    hidden_size: int = 768
+    eps: float = 1e-12
+    hidden_dropout_prob: float = 0.0
+
+    @nn.compact
+    def __call__(self, img_feat, img_pos_feat, type_embeddings,
+                 img_masks=None, deterministic=True):
+        if img_masks is not None:
+            # learned [MASK] vector added on masked regions (index-0 row is
+            # forced to zero in the reference; here we gate by the mask)
+            mask_vec = self.param(
+                "mask_embedding", nn.initializers.normal(0.02),
+                (img_feat.shape[-1],),
+            )
+            img_feat = img_feat + (
+                mask_vec[None, None, :]
+                * img_masks[..., None].astype(img_feat.dtype)
+            )
+        im = nn.LayerNorm(epsilon=self.eps, name="img_layer_norm")(
+            nn.Dense(self.hidden_size, name="img_linear")(img_feat)
+        )
+        pos = nn.LayerNorm(epsilon=self.eps, name="pos_layer_norm")(
+            nn.Dense(self.hidden_size, name="pos_linear")(img_pos_feat)
+        )
+        emb = im + pos + type_embeddings
+        emb = nn.LayerNorm(epsilon=self.eps, name="final_layer_norm")(emb)
+        return nn.Dropout(self.hidden_dropout_prob)(emb, deterministic)
+
+
+class UNITERModelBase(nn.Module):
+    """(reference uniter.py:91-277)"""
+
+    cfg: TransformerConfig
+    img_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids, img_feat, img_pos_feat,
+                 attention_mask, img_masks=None, deterministic=True):
+        txt = TextEmbeddings(self.cfg, name="text_embeddings")(
+            input_ids, position_ids=position_ids, deterministic=deterministic
+        )
+        img_type_ids = jnp.ones(img_feat.shape[:2], jnp.int32)
+        type_emb = nn.Embed(
+            self.cfg.type_vocab_size, self.cfg.hidden_size,
+            name="img_type_embeddings",
+        )(img_type_ids)
+        img = UNITERImageEmbeddings(
+            self.cfg.hidden_size,
+            hidden_dropout_prob=self.cfg.hidden_dropout_prob,
+            name="img_embeddings",
+        )(img_feat, img_pos_feat, type_emb, img_masks, deterministic)
+
+        x = jnp.concatenate([txt, img], axis=1)
+        bias = make_attention_bias(attention_mask, self.cfg.dtype)
+        seq = TransformerEncoder(self.cfg, name="encoder")(
+            x, bias=bias, deterministic=deterministic
+        )
+        pooled = Pooler(self.cfg, name="pooler")(seq)
+        return seq, pooled
+
+
+@registry.register_model("uniter")
+class UNITER(BaseModel):
+    config: Any = None
+
+    @classmethod
+    def config_path(cls):
+        return "configs/models/uniter/defaults.yaml"
+
+    def _tcfg(self):
+        return TransformerConfig.from_dict(
+            {
+                "hidden_size": self.config.get("hidden_size", 768),
+                "num_hidden_layers": self.config.get("num_hidden_layers", 12),
+                "num_attention_heads": self.config.get(
+                    "num_attention_heads", 12
+                ),
+                "intermediate_size": self.config.get(
+                    "intermediate_size",
+                    self.config.get("hidden_size", 768) * 4,
+                ),
+                "vocab_size": self.config.get("vocab_size", 30522),
+                "hidden_dropout_prob": self.config.get(
+                    "hidden_dropout_prob", 0.0
+                ),
+                "dtype": self.config.get("dtype", "float32"),
+            }
+        )
+
+    def _tasks(self) -> List[str]:
+        tasks = self.config.get("tasks", DEFAULT_PRETRAINING_TASKS)
+        return tasks.split(",") if isinstance(tasks, str) else list(tasks)
+
+    def _pos_feat(self, sample_list, img_feat):
+        info = sample_list.get("image_info_0", {}) or {}
+        if "img_pos_feat" in sample_list:
+            return sample_list["img_pos_feat"]
+        if isinstance(info, dict) and "bbox" in info:
+            bbox = info["bbox"][:, :, :4]
+            w = (bbox[:, :, 2] - bbox[:, :, 0])[..., None]
+            h = (bbox[:, :, 3] - bbox[:, :, 1])[..., None]
+            return jnp.concatenate([bbox, w, h, w * h], axis=-1)
+        B, R = img_feat.shape[:2]
+        return jnp.zeros((B, R, 7), jnp.float32)
+
+    @nn.compact
+    def __call__(self, sample_list: Dict[str, Any], train: bool = False):
+        cfg = self._tcfg()
+        deterministic = not train
+        do_pretraining = self.config.get("do_pretraining", False)
+
+        input_ids = sample_list["input_ids"]
+        img_feat = sample_list["image_feature_0"]
+        img_pos_feat = self._pos_feat(sample_list, img_feat)
+        input_mask = sample_list["input_mask"]
+        image_mask = sample_list.get(
+            "image_mask", jnp.ones(img_feat.shape[:2], input_mask.dtype)
+        )
+        attention_mask = jnp.concatenate([input_mask, image_mask], axis=1)
+        position_ids = jnp.arange(input_ids.shape[1])[None, :]
+
+        # task selection: dataset name (classification) or sampled
+        # pretraining task (reference samples per-iteration)
+        if do_pretraining:
+            task = sample_list.get("task", None)
+            if task is None:
+                task = _random.choice(self._tasks())
+            if task == "mlm" and "input_ids_masked" in sample_list:
+                input_ids = sample_list["input_ids_masked"]
+        else:
+            task = sample_list.get("dataset_name", self._tasks()[0])
+
+        img_masks = None
+        if do_pretraining and task in ("mrc", "mrfr") and \
+                "image_labels" in sample_list:
+            img_masks = (sample_list["image_labels"] == 1)
+
+        seq, pooled = UNITERModelBase(
+            cfg, img_dim=self.config.get("img_dim", 2048), name="uniter"
+        )(input_ids, position_ids, img_feat, img_pos_feat, attention_mask,
+          img_masks, deterministic)
+
+        sl = dict(sample_list)
+        T = input_ids.shape[1]
+        if do_pretraining:
+            if task == "mlm":
+                labels = sl.get("lm_label_ids",
+                                jnp.full(input_ids.shape, -1))
+                pad = jnp.full(
+                    (labels.shape[0], img_feat.shape[1]), -1, labels.dtype
+                )
+                sl["mlm_labels"] = {
+                    "combined_labels": jnp.concatenate([labels, pad], 1)
+                }
+            elif task == "itm":
+                sl.setdefault("is_correct", jnp.ones(
+                    input_ids.shape[0], jnp.int32))
+            elif task == "mrc":
+                info = sl.get("image_info_0", {}) or {}
+                sl["mrc_labels"] = {
+                    "targets": info.get(
+                        "cls_prob",
+                        jnp.zeros(img_feat.shape[:2] + (1601,), jnp.float32),
+                    ),
+                    "is_masked": sl.get(
+                        "image_labels",
+                        jnp.zeros(img_feat.shape[:2], jnp.int32),
+                    ) == 1,
+                }
+            elif task == "mrfr":
+                sl["mrfr_labels"] = {
+                    "targets": img_feat,
+                    "is_masked": sl.get(
+                        "image_labels",
+                        jnp.zeros(img_feat.shape[:2], jnp.int32),
+                    ) == 1,
+                }
+            elif task == "wra":
+                sl["wra_info"] = {
+                    "txt_len": jnp.sum(input_mask, 1),
+                    "img_len": jnp.sum(image_mask, 1),
+                    "txt_pad": 1 - input_mask,
+                    "img_pad": 1 - image_mask,
+                    "is_correct": sl.get(
+                        "is_correct",
+                        jnp.ones(input_ids.shape[0], jnp.int32),
+                    ),
+                }
+
+        heads_cfg = self.config.get("heads", {}) or {}
+        head_config = heads_cfg.get(task, {"type": "mlp", "num_labels": 2,
+                                           "hidden_size": cfg.hidden_size})
+        head = build_head(dict(head_config))
+        out = head(seq, processed_sample_list=sl, deterministic=deterministic)
+
+        output = dict(out)
+        if "losses" in output:
+            ds = sl.get("dataset_name", "unknown")
+            dt = sl.get("dataset_type", "train")
+            output["losses"] = {
+                f"{dt}/{ds}/{k}": v for k, v in output["losses"].items()
+            }
+        return output

@@ -1,0 +1,214 @@
+"""Smoke tests for the transformer long-tail: uniter, lxmert, vinvl,
+cm_shared_transformer, mmf_bert, unit, krisp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmf_tpu.common.registry import registry
+from mmf_tpu.config import omega
+from mmf_tpu.utils.env import setup_imports
+
+setup_imports()
+
+RNG = jax.random.PRNGKey(0)
+B = 2
+
+
+def _vl_batch(T=6, R=4, fdim=32, with_bbox=True):
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 50, (B, T))),
+        "input_mask": jnp.ones((B, T), jnp.int32),
+        "segment_ids": jnp.zeros((B, T), jnp.int32),
+        "image_feature_0": jnp.asarray(rng.randn(B, R, fdim).astype(np.float32)),
+        "dataset_name": "vqa2",
+        "dataset_type": "train",
+    }
+    if with_bbox:
+        batch["image_info_0"] = {
+            "bbox": jnp.asarray(rng.rand(B, R, 4).astype(np.float32)),
+            "max_features": jnp.asarray([R, R]),
+        }
+    return batch
+
+
+SMALL = {"hidden_size": 32, "num_hidden_layers": 2, "num_attention_heads": 4,
+         "intermediate_size": 64, "vocab_size": 50, "dtype": "float32"}
+
+
+def test_uniter_classification():
+    mc = omega.create(dict(SMALL, img_dim=32, do_pretraining=False,
+                           tasks="vqa2",
+                           heads={"vqa2": {"type": "mlp", "num_labels": 5,
+                                           "hidden_size": 32}}))
+    model = registry.get_model_class("uniter")(config=mc)
+    batch = _vl_batch()
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 5)
+
+
+def test_uniter_pretraining_tasks():
+    for task in ["mlm", "itm", "mrfr", "wra"]:
+        mc = omega.create(dict(
+            SMALL, img_dim=32, do_pretraining=True, tasks=task,
+            heads={task: {"type": task, "hidden_size": 32,
+                          "vocab_size": 50}},
+        ))
+        model = registry.get_model_class("uniter")(config=mc)
+        batch = _vl_batch()
+        batch["task"] = task
+        lm = np.full((B, 6), -1)
+        lm[:, 2] = 7
+        batch["lm_label_ids"] = jnp.asarray(lm)
+        labels = np.zeros((B, 4), np.int32)
+        labels[:, 1] = 1
+        batch["image_labels"] = jnp.asarray(labels)
+        variables = model.init(RNG, batch, False)
+        out = model.apply(variables, batch, False)
+        assert "losses" in out and len(out["losses"]) > 0, task
+        for v in out["losses"].values():
+            assert np.isfinite(float(v)), task
+
+
+def test_lxmert_pretraining_and_classification():
+    base = dict(SMALL, l_layers=2, x_layers=1, r_layers=1,
+                visual_feat_dim=32, task_qa=False)
+    # pretraining
+    mc = omega.create(dict(base, training_head_type="pretraining"))
+    model = registry.get_model_class("lxmert")(config=mc)
+    batch = _vl_batch()
+    lm = np.full((B, 6), -1)
+    lm[:, 1] = 3
+    batch["lm_label_ids"] = jnp.asarray(lm)
+    batch["is_correct"] = jnp.ones(B, jnp.int32)
+    labels = np.zeros((B, 4), np.int32)
+    labels[:, 0] = 1
+    batch["image_labels"] = jnp.asarray(labels)
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert "train/vqa2/masked_lm_loss" in out["losses"]
+    assert "train/vqa2/matched_loss" in out["losses"]
+    assert "train/vqa2/feat_loss" in out["losses"]
+    # classification
+    mc2 = omega.create(dict(base, training_head_type="vqa2", num_labels=5))
+    model2 = registry.get_model_class("lxmert")(config=mc2)
+    v2 = model2.init(RNG, batch, False)
+    out2 = model2.apply(v2, batch, False)
+    assert out2["scores"].shape == (B, 5)
+
+
+def test_vinvl():
+    mc = omega.create(dict(SMALL, training_head_type="classification",
+                           num_labels=4))
+    model = registry.get_model_class("vinvl")(config=mc)
+    batch = _vl_batch()
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 4)
+
+
+def test_alignment_model():
+    mc = omega.create({
+        "final_hidden_size": 16,
+        "num_attention_heads": 4,
+        "text_encoder": {"type": "transformer",
+                         "params": {"hidden_size": 16, "num_hidden_layers": 1,
+                                    "num_attention_heads": 2,
+                                    "vocab_size": 50}},
+        "dtype": "float32",
+    })
+    model = registry.get_model_class("cm_shared_transformer")(config=mc)
+    batch = _vl_batch(fdim=16)
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 16)
+    assert out["targets"].shape == (B, 16)
+    # normalized embeddings
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["scores"]), axis=-1), 1.0, rtol=1e-4
+    )
+
+
+def test_unit_detection_and_vl():
+    registry.register("config", omega.create({"datasets": "detection_coco",
+                                              "training": {}}))
+    mc = omega.create({
+        "hidden_size": 32, "num_encoder_layers": 1, "num_decoder_layers": 1,
+        "num_attention_heads": 4, "num_queries": 6, "num_classes": 10,
+        "backbone_depth": 18, "vocab_size": 50, "dtype": "float32",
+        "task_map": {"detection_coco": "detection", "vqa2": "vl"},
+        "heads": {"vqa2": {"num_labels": 5}},
+    })
+    model = registry.get_model_class("unit")(config=mc)
+    rng = np.random.RandomState(0)
+    det_batch = {
+        "image": jnp.asarray(rng.randn(B, 3, 64, 64).astype(np.float32)),
+        "labels": jnp.asarray([[1, 2, -1], [3, -1, -1]]),
+        "boxes": jnp.asarray(rng.rand(B, 3, 4).astype(np.float32)),
+        "dataset_name": "detection_coco",
+        "dataset_type": "train",
+    }
+    variables = model.init({"params": RNG, "dropout": RNG}, det_batch, True)
+    out, _ = model.apply(
+        variables, det_batch, True, mutable=["batch_stats"],
+        rngs={"dropout": RNG},
+    )
+    assert out["scores"].shape == (B, 6, 11)
+    assert out["pred_boxes"].shape == (B, 6, 4)
+    assert any("detection_ce" in k for k in out["losses"])
+    for v in out["losses"].values():
+        assert np.isfinite(float(v))
+
+    # vl task with separate decoder
+    vl_batch = _vl_batch(fdim=32, with_bbox=False)
+    variables_vl = model.init(RNG, vl_batch, False)
+    out_vl = model.apply(variables_vl, vl_batch, False)
+    assert out_vl["scores"].shape == (B, 5)
+
+
+def test_krisp():
+    vb_cfg = dict(SMALL, training_head_type="classification", num_labels=6,
+                  visual_embedding_dim=32, max_position_embeddings=32)
+    mc = omega.create({
+        "graph_module": {"num_nodes": 20, "node_hid_dim": 8,
+                         "num_gcn_layers": 1, "kb_path": None},
+        "visual_bert": vb_cfg,
+    })
+    model = registry.get_model_class("krisp")(config=mc)
+    batch = _vl_batch()
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 6)
+
+
+def test_mmf_bert():
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 7)
+    mc = omega.create({
+        **SMALL,
+        "model_data_dir": "",
+        "classifier": {"type": "logit",
+                       "params": {"img_hidden_dim": 16,
+                                  "text_hidden_dim": 16}},
+        "image_feature_embeddings": [
+            {"modal_combine": {"type": "non_linear_element_multiply",
+                               "params": {"dropout": 0, "hidden_dim": 16}},
+             "normalization": "softmax",
+             "transform": {"type": "linear", "params": {"out_dim": 1}}}],
+        "image_feature_dim": 32,
+        "image_feature_encodings": [{"type": "default",
+                                     "params": {"in_dim": 32}}],
+        "image_text_modal_combine": {
+            "type": "non_linear_element_multiply",
+            "params": {"dropout": 0, "hidden_dim": 16}},
+        "text_embeddings": [],
+    })
+    model = registry.get_model_class("mmf_bert")(config=mc)
+    batch = _vl_batch()
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    assert out["scores"].shape == (B, 7)
