@@ -49,6 +49,12 @@ class BaseModel(nn.Module):
 
         return cls(config=omega.create(kwargs))
 
+    def get_lr_multipliers(self, config=None):
+        """Per-module LR scales as {param-path-prefix: scale} — the optax
+        analog of the reference's per-module param groups
+        (get_optimizer_parameters, e.g. m4c.py:306-328). None = uniform."""
+        return None
+
     def build_losses(self) -> Losses:
         """Construct the loss container from ``config.losses``
         (reference init_losses, base_model.py:123-135)."""

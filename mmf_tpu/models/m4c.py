@@ -172,6 +172,15 @@ class M4C(BaseModel):
     def config_path(cls):
         return "configs/models/m4c/defaults.yaml"
 
+    def get_lr_multipliers(self, config=None):
+        c = self.config
+        return {
+            "text_bert": c.get("lr_scale_text_bert", 0.1),
+            "obj_faster_rcnn_fc7": c.get("lr_scale_frcn", 0.1),
+            "ocr_faster_rcnn_fc7": c.get("lr_scale_frcn", 0.1),
+            "mmt": c.get("lr_scale_mmt", 1.0),
+        }
+
     def _mmt_cfg(self):
         mmt = dict(self.config.get("mmt", {}) or {})
         return TransformerConfig.from_dict(

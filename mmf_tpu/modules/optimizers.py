@@ -119,6 +119,7 @@ def build_optimizer_transform(
     config,
     schedule_fn=None,
     max_grad_norm: Optional[float] = None,
+    lr_multipliers: Optional[Dict[str, float]] = None,
 ) -> optax.GradientTransformation:
     """Build the full optax chain: clip -> optimizer -> lr schedule.
 
@@ -156,5 +157,10 @@ def build_optimizer_transform(
 
     if schedule_fn is not None:
         chain.append(optax.scale_by_schedule(schedule_fn))
+
+    if lr_multipliers:
+        from mmf_tpu.utils.modeling import scale_updates_by_prefix
+
+        chain.append(scale_updates_by_prefix(lr_multipliers))
 
     return optax.chain(*chain)

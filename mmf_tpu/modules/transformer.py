@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
 
 ACT2FN = {
-    "gelu": nn.gelu,
+    # exact erf GELU — what torch/HF BERT use; flax's default is the tanh
+    # approximation, which breaks <1e-4 logit parity with converted weights
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "silu": nn.silu,
     "swish": nn.silu,

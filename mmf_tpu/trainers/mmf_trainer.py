@@ -99,8 +99,12 @@ class MMFTrainer(BaseTrainer):
 
         schedule_fn = build_scheduler(self.config)
         max_grad_norm = clip_gradients_config(self.config)
+        lr_multipliers = None
+        if hasattr(self.model, "get_lr_multipliers"):
+            lr_multipliers = self.model.get_lr_multipliers(self.config)
         self.tx = build_optimizer_transform(
-            self.config, schedule_fn=schedule_fn, max_grad_norm=max_grad_norm
+            self.config, schedule_fn=schedule_fn,
+            max_grad_norm=max_grad_norm, lr_multipliers=lr_multipliers,
         )
         self._schedule_fn = schedule_fn
 

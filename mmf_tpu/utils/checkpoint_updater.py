@@ -1,0 +1,187 @@
+"""Checkpoint conversion utilities.
+
+Two jobs (parity with mmf/utils/checkpoint_updater.py plus the north-star
+PyTorch->JAX weight converter):
+
+1. ``is_model_only_checkpoint`` / pretrained-state-mapping helpers for our
+   own orbax checkpoints;
+2. ``convert_torch_state_dict`` — maps a torch state_dict (e.g. the
+   reference zoo's .ckpt/.pth files, or HF bert-base-uncased) onto a flax
+   param pytree by name translation + transposition rules:
+     - Linear weight [out,in]  -> Dense kernel [in,out] (transpose)
+     - Embedding weight        -> Embed embedding (as-is)
+     - LayerNorm weight/bias   -> scale/bias
+     - Conv weight [O,I,H,W]   -> [H,W,I,O]
+   Model-specific key renames go through each model's
+   ``format_state_key`` hook plus a per-model map.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def is_model_only_checkpoint(ckpt: Dict[str, Any]) -> bool:
+    """(reference checkpoint_updater.py:21)"""
+    return "variables" in ckpt and "opt_state" not in ckpt or (
+        "model" in ckpt and "optimizer" not in ckpt
+    )
+
+
+def get_pretrained_state_mapping_checkpoint(checkpoint, model, mapping):
+    """(reference checkpoint_updater.py:62): filter a checkpoint down to
+    keys covered by the pretrained_state_mapping."""
+    out = {}
+    for own_attr, pretrained_attr in mapping.items():
+        for key, value in checkpoint.items():
+            if key.startswith(pretrained_attr):
+                out[key.replace(pretrained_attr, own_attr, 1)] = value
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion
+# ---------------------------------------------------------------------------
+def _flatten_flax(tree, prefix=()):
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten_flax(v, prefix + (k,)))
+    else:
+        flat[prefix] = tree
+    return flat
+
+
+def _unflatten_flax(flat):
+    tree: Dict[str, Any] = {}
+    for path, v in flat.items():
+        cur = tree
+        for p in path[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[path[-1]] = v
+    return tree
+
+
+def _torch_key_to_flax_path(key: str) -> Tuple[Tuple[str, ...], str]:
+    """Translate a torch dotted key into (flax path, kind). kind in
+    {kernel, bias, embedding, scale, conv, other}."""
+    parts = key.split(".")
+    leaf = parts[-1]
+    body = parts[:-1]
+    # LayerNorm
+    body_l = [p.lower() for p in body]
+    if body and ("layernorm" in body_l[-1] or "layer_norm" in body_l[-1]
+                 or body[-1] == "LayerNorm"):
+        kind = "scale" if leaf == "weight" else "bias"
+        return tuple(body), kind
+    if leaf == "weight":
+        return tuple(body), "kernel"
+    if leaf == "bias":
+        return tuple(body), "bias"
+    return tuple(body + [leaf]), "other"
+
+
+def convert_torch_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    flax_params: Dict[str, Any],
+    key_map: Optional[Dict[str, str]] = None,
+    format_state_key=None,
+) -> Tuple[Dict[str, Any], Dict[str, int]]:
+    """Best-effort name-matched conversion of a torch state_dict onto an
+    existing flax param tree (shapes must match after transposition).
+
+    key_map: regex -> replacement applied to torch keys first.
+    Returns (new_params, stats)."""
+    key_map = key_map or {}
+    flat = _flatten_flax(flax_params)
+    # index flax leaves by normalized name for fuzzy matching
+    norm_index = {}
+    for path in flat:
+        norm = tuple(p.lower().replace("_", "") for p in path)
+        norm_index[norm] = path
+
+    stats = {"matched": 0, "missed": 0, "shape_mismatch": 0}
+    new_flat = dict(flat)
+
+    for tkey, tval in state_dict.items():
+        arr = np.asarray(tval)
+        key = tkey
+        for pattern, repl in key_map.items():
+            key = re.sub(pattern, repl, key)
+        if format_state_key is not None:
+            key = format_state_key(key)
+        path, kind = _torch_key_to_flax_path(key)
+
+        candidates = []
+        if kind == "kernel":
+            candidates = [path + ("kernel",), path + ("embedding",),
+                          path + ("scale",)]
+        elif kind == "bias":
+            candidates = [path + ("bias",)]
+        elif kind in ("scale",):
+            candidates = [path + ("scale",)]
+        else:
+            candidates = [path]
+
+        target = None
+        for cand in candidates:
+            norm = tuple(p.lower().replace("_", "") for p in cand)
+            if norm in norm_index:
+                target = norm_index[norm]
+                break
+        if target is None:
+            stats["missed"] += 1
+            continue
+
+        expected = np.shape(flat[target])
+        converted = arr
+        if target[-1] == "kernel":
+            if arr.ndim == 2:
+                converted = arr.T
+            elif arr.ndim == 4:  # conv OIHW -> HWIO
+                converted = arr.transpose(2, 3, 1, 0)
+        if np.shape(converted) != expected:
+            if np.shape(arr) == expected:
+                converted = arr
+            else:
+                stats["shape_mismatch"] += 1
+                continue
+        new_flat[target] = converted.astype(np.asarray(flat[target]).dtype)
+        stats["matched"] += 1
+
+    logger.info(
+        f"torch->flax conversion: {stats['matched']} matched, "
+        f"{stats['missed']} missed, {stats['shape_mismatch']} shape mismatches"
+    )
+    return _unflatten_flax(new_flat), stats
+
+
+# canonical rename maps for the flagship models (HF BERT -> our trunk)
+HF_BERT_KEY_MAP = {
+    r"^bert\.": "",
+    r"embeddings\.word_embeddings": "embeddings.word_embeddings",
+    r"embeddings\.LayerNorm": "embeddings.layer_norm",
+    r"encoder\.layer\.(\d+)\.attention\.self\.query":
+        r"encoder.layer_\1.attention.query",
+    r"encoder\.layer\.(\d+)\.attention\.self\.key":
+        r"encoder.layer_\1.attention.key",
+    r"encoder\.layer\.(\d+)\.attention\.self\.value":
+        r"encoder.layer_\1.attention.value",
+    r"encoder\.layer\.(\d+)\.attention\.output\.dense":
+        r"encoder.layer_\1.attention.output_dense",
+    r"encoder\.layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"encoder.layer_\1.attention.output_layer_norm",
+    r"encoder\.layer\.(\d+)\.intermediate\.dense":
+        r"encoder.layer_\1.ffn.intermediate_dense",
+    r"encoder\.layer\.(\d+)\.output\.dense":
+        r"encoder.layer_\1.ffn.output_dense",
+    r"encoder\.layer\.(\d+)\.output\.LayerNorm":
+        r"encoder.layer_\1.ffn.output_layer_norm",
+    r"pooler\.dense": "pooler.dense",
+}
