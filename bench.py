@@ -19,11 +19,14 @@ import time
 import numpy as np
 
 
-def _throughput(dtype: str, batch_size: int = 64, iters: int = 20) -> float:
+def _throughput(
+    dtype: str, batch_size: int = 64, iters: int = 20, repeats: int = 3
+) -> float:
     """Time ``iters`` chained forwards inside ONE jitted call returning a
     scalar — measures device compute, not host<->device tunnel latency
     (block_until_ready through this host's remote-execution tunnel does not
-    reflect device completion; a scalar fetch does)."""
+    reflect device completion; a scalar fetch does). Best-of-``repeats``
+    to damp tunnel/host contention noise (~20% run-to-run observed)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,10 +54,12 @@ def _throughput(dtype: str, batch_size: int = 64, iters: int = 20) -> float:
         return total
 
     float(forward_many(variables, batch))  # compile + warmup (scalar fetch)
-    t0 = time.perf_counter()
-    float(forward_many(variables, batch))
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(forward_many(variables, batch))
+        best = min(best, time.perf_counter() - t0)
+    return batch_size * iters / best
 
 
 def main():

@@ -284,8 +284,12 @@ def merge_with_dotlist(cfg: ConfigNode, opts: List[str],
                 seq = cur[name] if name in cur else None
                 if seq is None or not isinstance(seq, list):
                     raise AttributeError(f"{key}: '{name}' is not a list in config")
-                if idx >= len(seq):
+                if idx > len(seq):
                     raise IndexError(f"{key}: index {idx} out of range")
+                if idx == len(seq):
+                    # appending one-past-the-end is allowed so dotlists can
+                    # extend default-empty lists (evaluation.metrics[0]=...)
+                    seq.append(_wrap({}) if not last else None)
                 if last:
                     seq[idx] = _wrap(parsed)
                 else:

@@ -32,7 +32,11 @@ class COCOBuilder(MMFDatasetBuilder):
 @registry.register_builder("masked_coco")
 class MaskedCOCOBuilder(COCOBuilder):
     def __init__(self, dataset_name="masked_coco", *args, **kwargs):
-        super().__init__(dataset_name)
+        from mmf_tpu.datasets.builders.coco.masked_dataset import (
+            MaskedCOCODataset,
+        )
+
+        super().__init__(dataset_name, dataset_class=MaskedCOCODataset)
 
     @classmethod
     def config_path(cls):

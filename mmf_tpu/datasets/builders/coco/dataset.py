@@ -16,9 +16,9 @@ from mmf_tpu.utils.distributed import (
 class COCODataset(VQA2Dataset):
     def __init__(self, config, dataset_type, imdb_file_index=0, *args,
                  **kwargs):
+        kwargs.setdefault("dataset_name", "coco")
         super().__init__(
-            config, dataset_type, imdb_file_index, dataset_name="coco",
-            *args, **kwargs,
+            config, dataset_type, imdb_file_index, *args, **kwargs,
         )
 
     def preprocess_sample_info(self, sample_info):

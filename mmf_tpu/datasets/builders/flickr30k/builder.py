@@ -1,16 +1,21 @@
-"""Flickr30k builder (parity with
-mmf/datasets/builders/flickr30k): masked pretraining over caption+region
-features in COCO-ish format."""
+"""Flickr30k masked builder (parity with
+mmf/datasets/builders/flickr30k/masked_builder.py + masked_dataset.py):
+localized-narratives captions over Flickr30k FRCNN features."""
 
 from mmf_tpu.common.registry import registry
-from mmf_tpu.datasets.builders.coco.dataset import COCODataset
+from mmf_tpu.datasets.builders.localized_narratives.masked_dataset import (
+    MaskedLocalizedNarrativesDatasetMixin,
+)
+from mmf_tpu.datasets.mmf_dataset import MMFDataset
 from mmf_tpu.datasets.mmf_dataset_builder import MMFDatasetBuilder
 
 
-class MaskedFlickr30kDataset(COCODataset):
-    def __init__(self, config, dataset_type, imdb_file_index=0, *args, **kwargs):
-        super().__init__(config, dataset_type, imdb_file_index, *args, **kwargs)
-        self.dataset_name = "masked_flickr30k"
+class MaskedFlickr30kDataset(MaskedLocalizedNarrativesDatasetMixin,
+                             MMFDataset):
+    def __init__(self, config, dataset_type, index=0, *args, **kwargs):
+        super().__init__(
+            "masked_flickr30k", config, dataset_type, index=index
+        )
 
 
 @registry.register_builder("masked_flickr30k")

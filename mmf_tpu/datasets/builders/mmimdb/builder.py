@@ -25,3 +25,19 @@ class MMIMDbBuilder(MMFDatasetBuilder):
         else:
             self.dataset_class = MMIMDbImageDataset
         return super().load(config, dataset_type, *args, **kwargs)
+
+
+@registry.register_builder("masked_mmimdb")
+class MaskedMMImdbBuilder(MMFDatasetBuilder):
+    """(reference mmimdb/masked_builder.py)"""
+
+    def __init__(self, dataset_name="masked_mmimdb", *args, **kwargs):
+        from mmf_tpu.datasets.builders.mmimdb.masked_dataset import (
+            MaskedMMImdbDataset,
+        )
+
+        super().__init__(dataset_name, MaskedMMImdbDataset)
+
+    @classmethod
+    def config_path(cls):
+        return "configs/datasets/mmimdb/masked.yaml"

@@ -54,10 +54,30 @@ class VQA2TrainValBuilder(VQA2Builder):
         return "configs/datasets/vqa2/train_val.yaml"
 
 
+@registry.register_builder("masked_vqa2")
+class MaskedVQA2Builder(VQA2Builder):
+    """(reference vqa2/masked_builder.py:14-23)"""
+
+    def __init__(self, dataset_name="masked_vqa2", *args, **kwargs):
+        from mmf_tpu.datasets.builders.vqa2.masked_dataset import (
+            MaskedVQA2Dataset,
+        )
+
+        super().__init__(dataset_name, dataset_class=MaskedVQA2Dataset)
+
+    @classmethod
+    def config_path(cls):
+        return "configs/datasets/vqa2/masked.yaml"
+
+
 @registry.register_builder("masked_q_vqa2")
 class MaskedQVQA2Builder(VQA2Builder):
     def __init__(self, dataset_name="masked_q_vqa2", *args, **kwargs):
-        super().__init__(dataset_name)
+        from mmf_tpu.datasets.builders.vqa2.masked_dataset import (
+            MaskedQVQA2Dataset,
+        )
+
+        super().__init__(dataset_name, dataset_class=MaskedQVQA2Dataset)
 
     @classmethod
     def config_path(cls):

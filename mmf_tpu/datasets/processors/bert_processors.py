@@ -145,9 +145,13 @@ class MaskedTokenProcessor(BaseProcessor):
         if text_b:
             tokens_b = self.tokenize(text_b)
         self._truncate_seq_pair(tokens_a, tokens_b, self._max_seq_length)
-        return self._convert_to_indices(
+        output = self._convert_to_indices(
             tokens_a, tokens_b, probability=self._probability
         )
+        # ITM target rides along with the masked pair
+        # (reference bert_processors.py:171-173)
+        output["is_correct"] = np.int64(item.get("is_correct", True))
+        return output
 
 
 @registry.register_processor("bert_tokenizer")

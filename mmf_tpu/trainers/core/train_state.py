@@ -65,11 +65,15 @@ def make_train_step(
     update_frequency: int = 1,
     mutable: Tuple[str, ...] = (),
     meta: Optional[Dict[str, Any]] = None,
+    report_fields: Tuple[str, ...] = (),
 ) -> Callable:
     """Build the pure train step.
 
     model_apply(variables, batch, train, rngs, mutable) -> output[, new_vars]
     losses_fn(batch_with_meta, output) -> {loss_key: scalar}
+    report_fields: model-output fields (e.g. "scores") to carry into the
+    report so the host can compute train-time metrics
+    (``training.evaluate_metrics``, reference training_loop.py:120).
     """
     meta = meta or {}
 
@@ -89,8 +93,9 @@ def make_train_step(
         # model-internal losses (pretraining heads) + registered losses
         losses = dict(output.get("losses", {}))
         losses.update(losses_fn(batch_in, output))
+        reported = {k: output[k] for k in report_fields if k in output}
         total = sum(jnp.mean(v) for v in losses.values())
-        return total / update_frequency, (losses, new_vars)
+        return total / update_frequency, (losses, new_vars, reported)
 
     grad_fn = jax.grad(loss_for_grads, has_aux=True)
 
@@ -106,30 +111,38 @@ def make_train_step(
                 grads_acc, losses_acc, vars_c = carry
                 i = losses_acc["__i__"]
                 rng_i = jax.random.fold_in(step_rng, i)
-                grads, (losses, new_vars) = grad_fn(params, vars_c, mb, rng_i)
+                grads, (losses, new_vars, rep) = grad_fn(
+                    params, vars_c, mb, rng_i
+                )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 for k, v in losses.items():
                     losses_acc[k] = losses_acc[k] + jnp.mean(v) / update_frequency
                 losses_acc["__i__"] = i + 1
                 vars_c = new_vars if mutable else vars_c
-                return (grads_acc, losses_acc, vars_c), None
+                return (grads_acc, losses_acc, vars_c), rep
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
             # discover loss keys without spending FLOPs (abstract trace only)
             first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
-            _, (probe_losses, _) = jax.eval_shape(
+            _, (probe_losses, _, _) = jax.eval_shape(
                 grad_fn, params, extra_vars, first_mb, step_rng
             )
             losses_init = {k: jnp.zeros((), jnp.float32) for k in probe_losses}
             losses_init["__i__"] = jnp.zeros((), jnp.int32)
-            (grads, losses_acc, new_extra), _ = jax.lax.scan(
+            (grads, losses_acc, new_extra), reported = jax.lax.scan(
                 scan_body, (zero_grads, losses_init, extra_vars), micro
             )
             losses_acc.pop("__i__")
             losses = losses_acc
             extra_vars = new_extra
+            # [n, B/n, ...] stacked ys -> [B, ...] full-batch fields
+            reported = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), reported
+            )
         else:
-            grads, (losses, new_vars) = grad_fn(params, extra_vars, batch, step_rng)
+            grads, (losses, new_vars, reported) = grad_fn(
+                params, extra_vars, batch, step_rng
+            )
             losses = {k: jnp.mean(v) for k, v in losses.items()}
             if mutable:
                 extra_vars = new_vars
@@ -155,6 +168,7 @@ def make_train_step(
             "nan_flag": nan_flag,
             "num_updates": new_state.step,
         }
+        report.update(reported)
         return new_state, report
 
     return train_step

@@ -30,6 +30,7 @@ from mmf_tpu.trainers.callbacks.checkpoint import CheckpointCallback
 from mmf_tpu.trainers.callbacks.early_stopping import EarlyStoppingCallback
 from mmf_tpu.trainers.callbacks.logistics import LogisticsCallback
 from mmf_tpu.trainers.callbacks.lr_scheduler import LRSchedulerCallback
+from mmf_tpu.trainers.core.profiling import TrainerProfilingMixin
 from mmf_tpu.trainers.core.train_state import (
     TrainState,
     create_train_state,
@@ -42,7 +43,7 @@ logger = logging.getLogger("mmf_tpu")
 
 
 @registry.register_trainer("mmf")
-class MMFTrainer(BaseTrainer):
+class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
     def __init__(self, config):
         super().__init__(config)
         self.num_updates = 0
@@ -238,6 +239,14 @@ class MMFTrainer(BaseTrainer):
         key = (meta.get("dataset_name", ""), "train")
         if key not in self._train_steps:
             uf = self.training_config.get("update_frequency", 1)
+            report_fields = ()
+            if (
+                self.training_config.get("evaluate_metrics", False)
+                and len(self.metrics.metrics) > 0
+            ):
+                # carry model scores out of the step so the host can compute
+                # train-time metrics (reference training_loop.py:118-123)
+                report_fields = ("scores",)
             step = make_train_step(
                 self.model.apply,
                 self.losses,
@@ -245,6 +254,7 @@ class MMFTrainer(BaseTrainer):
                 update_frequency=uf,
                 mutable=self._mutable_collections(),
                 meta=meta,
+                report_fields=report_fields,
             )
             self._train_steps[key] = jax.jit(step, donate_argnums=(0,))
         return self._train_steps[key]
@@ -300,6 +310,7 @@ class MMFTrainer(BaseTrainer):
         exit_on_nan = self.training_config.get("exit_on_nan_losses", True)
         uf = self.training_config.get("update_frequency", 1)
         should_break = False
+        self.start_profiler()
 
         while self.num_updates < self._max_updates and not should_break:
             self.current_epoch += 1
@@ -310,21 +321,32 @@ class MMFTrainer(BaseTrainer):
 
             pending_report = None
             for batch in self.train_loader:
+                self.profile("Batch load time")
                 if self.num_updates >= self._max_updates:
                     break
                 self._fire("on_update_start")
 
                 meta = self._batch_meta(batch)
                 self._ensure_state(batch)
-                device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
+                with self.trace("batch_prepare"):
+                    device_batch = mesh_lib.shard_batch(
+                        batch.pytree(), self.mesh
+                    )
+                self.profile("Batch prepare time")
                 step_fn = self._get_train_step(meta)
-                self.train_state, report = step_fn(self.train_state, device_batch)
+                # fused forward+backward+update; dispatch is async — device
+                # time shows on the XProf timeline, not in this host timer
+                with self.trace("train_step"):
+                    self.train_state, report = step_fn(
+                        self.train_state, device_batch
+                    )
+                self.profile("Step dispatch time")
 
                 self.num_updates += 1
                 self.current_iteration += uf
                 registry.register("num_updates", self.num_updates)
                 registry.register("current_iteration", self.current_iteration)
-                pending_report = (report, meta, batch.get_batch_size())
+                pending_report = (report, meta, batch)
 
                 should_log = self.num_updates % log_interval == 0
                 if should_log:
@@ -333,6 +355,7 @@ class MMFTrainer(BaseTrainer):
                     pending_report = None
                 self._fire("on_update_end", meter=self.meter,
                            should_log=should_log)
+                self.profile("Finished update")
 
                 if self.num_updates % eval_interval == 0 and \
                         self.val_loader is not None and len(self.val_loader) > 0:
@@ -343,14 +366,18 @@ class MMFTrainer(BaseTrainer):
                         break
             gc.collect()
 
+        self.stop_profiler()
         logger.info(
             f"Finished training: {self.num_updates}/{self._max_updates} "
             f"updates, {self.current_epoch} epochs"
         )
 
-    def _consume_train_report(self, report, meta, batch_size, exit_on_nan=True):
+    def _consume_train_report(self, report, meta, batch, exit_on_nan=True):
         """Device->host sync point: pull scalars, feed the meter, NaN guard
-        (reference _check_nan_losses, training_loop.py:173-191)."""
+        (reference _check_nan_losses, training_loop.py:173-191). When
+        ``training.evaluate_metrics`` is on, scores ride along in the report
+        and train-time metrics are computed here at each log interval
+        (reference training_loop.py:118-123)."""
         losses = {k: np.asarray(v) for k, v in report["losses"].items()}
         nan_flag = bool(np.asarray(report["nan_flag"]))
         if nan_flag and exit_on_nan:
@@ -359,10 +386,20 @@ class MMFTrainer(BaseTrainer):
                 f"NaN occurred in the following loss(es): {keys}; exiting "
                 "the training"
             )
-        host_report = Report.__new__(Report)
-        dict.__init__(host_report)
-        host_report["losses"] = losses
-        host_report.batch_size = batch_size
+        if "scores" in report:
+            output = {
+                "losses": losses,
+                "scores": np.asarray(report["scores"]),
+            }
+            host_report = Report(batch, output).to_numpy()
+            host_report["dataset_name"] = meta.get("dataset_name", "unknown")
+            host_report["dataset_type"] = "train"
+            host_report.metrics = self.metrics(host_report, host_report)
+        else:
+            host_report = Report.__new__(Report)
+            dict.__init__(host_report)
+            host_report["losses"] = losses
+            host_report.batch_size = batch.get_batch_size()
         self.meter.update_from_report(host_report)
 
     def _run_validation(self) -> bool:
@@ -377,6 +414,10 @@ class MMFTrainer(BaseTrainer):
     # ------------------------------------------------------------------
     def evaluation_loop(self, dataset_type: str, use_tqdm: bool = False,
                         single_batch: bool = False):
+        """Accumulates reports on HOST numpy — the reference's
+        ``evaluation.use_cpu`` (evaluation_loop.py:24,55,100) is always-on
+        here by design: keeping logits out of HBM during long eval sweeps
+        costs one device->host copy per batch and frees the chip."""
         loader = getattr(self, f"{dataset_type}_loader")
         meter = Meter()
         combined_report = None

@@ -89,6 +89,38 @@ def test_evaluation_loop_runs(tmp_path):
     assert report.batch_size > 0
 
 
+def test_evaluate_metrics_during_training(tmp_path):
+    """training.evaluate_metrics computes metrics on the train batch at each
+    log interval (reference training_loop.py:118-123)."""
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s6"),
+        **{
+            "training.max_updates": 4,
+            "training.log_interval": 2,
+            "training.evaluate_metrics": True,
+            "evaluation.metrics[0]": "accuracy",
+        },
+    )
+    trainer.train()
+    assert "train/numbers/accuracy" in trainer.meter.meters
+
+
+def test_evaluate_metrics_with_grad_accumulation(tmp_path):
+    """scores ride out of the lax.scan accumulation path as stacked ys."""
+    trainer = make_trainer(
+        save_dir=str(tmp_path / "s7"),
+        **{
+            "training.max_updates": 2,
+            "training.log_interval": 1,
+            "training.update_frequency": 2,
+            "training.evaluate_metrics": True,
+            "evaluation.metrics[0]": "accuracy",
+        },
+    )
+    trainer.train()
+    assert "train/numbers/accuracy" in trainer.meter.meters
+
+
 def test_nan_guard(tmp_path):
     trainer = make_trainer(
         save_dir=str(tmp_path / "s5"),
