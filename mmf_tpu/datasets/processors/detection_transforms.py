@@ -134,3 +134,18 @@ class RandomSelect:
         if random.random() < self.p:
             return self.t1(img, target)
         return self.t2(img, target)
+
+
+# registered processor keys (reference detection_transforms.py:152-236) so
+# detection pipelines can be assembled from YAML
+from mmf_tpu.common.registry import registry  # noqa: E402
+
+registry.register_processor("detection_compose")(Compose)
+registry.register_processor("detection_to_tensor")(ToTensor)
+registry.register_processor("detection_normalize")(Normalize)
+registry.register_processor("detection_random_horizontal_flip")(
+    RandomHorizontalFlip
+)
+registry.register_processor("detection_random_resize")(RandomResize)
+registry.register_processor("detection_random_size_crop")(RandomSizeCrop)
+registry.register_processor("detection_random_select")(RandomSelect)

@@ -178,3 +178,55 @@ class PermuteAndRescale(BaseProcessor):
         if vid.ndim == 4 and vid.shape[-1] in (1, 3):
             vid = vid.transpose(0, 3, 1, 2)
         return _wrap(item, vid / 255.0)
+
+
+@registry.register_processor("video_pad")
+class VideoPad(BaseProcessor):
+    """Spatial padding on the last two dims
+    (reference video_processors.py:119-129)."""
+
+    def __init__(self, *args, padding=None, fill=0, **kwargs):
+        if padding is None:
+            raise TypeError("Parameter 'padding' is required")
+        if isinstance(padding, int):
+            padding = [padding] * 4  # left, right, top, bottom
+        self.padding = padding
+        self.fill = fill
+
+    def __call__(self, item):
+        vid = _video(item)
+        left, right, top, bottom = self.padding
+        pad = [(0, 0)] * (vid.ndim - 2) + [(top, bottom), (left, right)]
+        return _wrap(item, np.pad(vid, pad, constant_values=self.fill))
+
+
+@registry.register_processor("video_transforms")
+class VideoTransforms(BaseProcessor):
+    """Compose registered video processors from config
+    (reference video_processors.py:152-210 composes pytorchvideo
+    transforms; here the same config drives the registered numpy
+    ``video_*`` processors)."""
+
+    def __init__(self, config, *args, **kwargs):
+        transform_params = config["transforms"]
+        if isinstance(transform_params, dict):
+            transform_params = [transform_params]
+        self.transforms = []
+        for param in transform_params:
+            if isinstance(param, str):
+                ttype, tparams = param, {}
+            else:
+                ttype = param["type"]
+                tparams = dict(param.get("params", {}) or {})
+            cls = registry.get_processor_class(ttype)
+            if cls is None:
+                # accept bare names like "random_crop" for video_random_crop
+                cls = registry.get_processor_class(f"video_{ttype}")
+            if cls is None:
+                raise ValueError(f"Unknown video transform: {ttype}")
+            self.transforms.append(cls(**tparams))
+
+    def __call__(self, item):
+        for t in self.transforms:
+            item = t(item)
+        return item
