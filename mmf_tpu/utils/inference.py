@@ -1,9 +1,12 @@
 """Interactive inference pipeline (parity with mmf/utils/inference.py:15-76).
 
 Loads a pretrained model from the zoo (or local path), builds the dataset's
-processors, and answers questions about a local image. On-the-fly region
-features require the FRCNN port; grid-feature models (MMBT) work
-end-to-end today.
+processors, and answers questions about a local image. Region-feature
+models get on-the-fly features from the in-repo GeneralizedRCNN
+(models/frcnn.py) via the ``frcnn_preprocess`` processor — the reference's
+feature_extraction path (inference.py:42-54); pass ``frcnn_checkpoint``
+to load converted detector weights, otherwise grid-feature models (MMBT)
+work without it.
 """
 
 from __future__ import annotations
@@ -21,10 +24,52 @@ logger = logging.getLogger(__name__)
 
 
 class Inference:
-    def __init__(self, checkpoint_path: str = None):
+    def __init__(self, checkpoint_path: str = None,
+                 frcnn_checkpoint: str = None):
         self.checkpoint = checkpoint_path
         assert self.checkpoint is not None
+        self.frcnn_checkpoint = frcnn_checkpoint
+        self._frcnn = None  # (model, variables), built lazily
         self.processor, self.model, self.variables = self._build_model()
+
+    def _region_features(self, image_path: str, max_regions: int = 100):
+        """On-the-fly FRCNN region features (reference inference.py:42-54:
+        feature extraction through the in-repo detector)."""
+        import jax
+
+        from mmf_tpu.datasets.processors.frcnn_processor import (
+            FRCNNPreprocess,
+        )
+        from mmf_tpu.config import omega
+
+        preprocess = FRCNNPreprocess(
+            omega.create({"input": {"min_size_test": 800,
+                                    "max_size_test": 1333},
+                          "model": {}})
+        )
+        images, sizes, _ = preprocess(image_path, single_image=True)
+        batch = {
+            "image": np.asarray(images)[None].transpose(0, 2, 3, 1),
+            "image_shape": np.asarray(sizes, np.float32)[None],
+        }
+        if self._frcnn is None:
+            frcnn_cls = registry.get_model_class("frcnn")
+            frcnn = frcnn_cls(config={"post_nms_topk": max_regions})
+            if self.frcnn_checkpoint:
+                from mmf_tpu.utils.checkpoint import load_pretrained_model
+
+                loaded = load_pretrained_model(self.frcnn_checkpoint)
+                variables = loaded["checkpoint"]["variables"]
+            else:
+                logger.warning(
+                    "No frcnn_checkpoint given: extracting region features "
+                    "with randomly-initialized detector weights"
+                )
+                variables = frcnn.init(jax.random.PRNGKey(0), batch, False)
+            self._frcnn = (frcnn, variables)
+        frcnn, variables = self._frcnn
+        out = frcnn.apply(variables, batch, False)
+        return np.asarray(out["roi_features"][0])
 
     def _build_model(self):
         from mmf_tpu.models.base_model import build_model
@@ -55,6 +100,8 @@ class Inference:
             img = np.asarray(Image.open(image_path).convert("RGB"),
                              np.float32) / 255.0
             sample.image = img.transpose(2, 0, 1)
+        elif image_format == "features":
+            sample.image_feature_0 = self._region_features(image_path)
         elif image_format == "url":
             raise RuntimeError(
                 "URL loading requires network egress; pass a local path"
