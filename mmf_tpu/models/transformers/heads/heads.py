@@ -242,6 +242,7 @@ class WRA(BaseTransformerHead):
         return {"losses": {c.get("loss_name", "wra_loss"): loss}}
 
 
+@registry.register_transformer_head("contrastive_three_way")
 @registry.register_transformer_head("contrastive")
 class ContrastiveHead(BaseTransformerHead):
     """Three-way contrastive (itc-style) head (reference heads/contrastive.py)."""
