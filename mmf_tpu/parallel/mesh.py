@@ -125,3 +125,66 @@ def opt_state_sharding_tree(opt_state: Any, enable_state_sharding: bool,
 
 def local_batch_to_global(batch_size: int) -> int:
     return batch_size * jax.process_count()
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism: Megatron-style sharding rules over the 'model' axis
+# ---------------------------------------------------------------------------
+# Column-parallel kernels (output dim sharded): attention q/k/v, FFN up.
+# Row-parallel kernels (input dim sharded): attention output, FFN down.
+# Embedding tables shard the vocab dim. GSPMD propagates activation
+# shardings from these and inserts the all-reduces after row-parallel
+# matmuls — annotations are hints, semantics stay exact at any mesh shape.
+_COLUMN_PARALLEL = ("query", "key", "value", "intermediate_dense")
+_ROW_PARALLEL = ("output_dense",)
+_VOCAB_PARALLEL = ("word_embeddings", "decoder")
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", None)
+        if key is not None:
+            names.append(str(key))
+    return tuple(names)
+
+
+def param_sharding_tree(params: Any, mesh: Optional[Mesh] = None) -> Any:
+    """Per-leaf NamedSharding pytree for tensor-parallel parameter
+    placement. With a size-1 ``model`` axis every rule degenerates to
+    replicated, so the data-parallel default is unchanged."""
+    mesh = mesh or get_mesh()
+    tp = mesh.shape.get("model", 1)
+    repl = replicated_sharding(mesh)
+
+    def rule(path, leaf):
+        if tp == 1 or not hasattr(leaf, "shape"):
+            return repl
+        names = _path_names(path)
+        if not names:
+            return repl
+        leaf_name = names[-1]
+        module = names[-2] if len(names) >= 2 else ""
+        if leaf_name == "kernel" and leaf.ndim == 2:
+            if module in _COLUMN_PARALLEL and leaf.shape[1] % tp == 0:
+                return NamedSharding(mesh, P(None, "model"))
+            if module in _ROW_PARALLEL and leaf.shape[0] % tp == 0:
+                return NamedSharding(mesh, P("model", None))
+        if leaf_name == "bias" and module in _COLUMN_PARALLEL \
+                and leaf.ndim == 1 and leaf.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model"))
+        if leaf_name == "embedding" and module in _VOCAB_PARALLEL \
+                and leaf.ndim == 2 and leaf.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model", None))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def place_params(params: Any, mesh: Optional[Mesh] = None) -> Any:
+    """Put parameters on the mesh under the tensor-parallel rules
+    (replicated when the model axis is 1)."""
+    mesh = mesh or get_mesh()
+    return jax.device_put(params, param_sharding_tree(params, mesh))

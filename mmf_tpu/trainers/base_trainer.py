@@ -15,6 +15,13 @@ class BaseTrainer:
         self.run_type = self.config.get("run_type", "train")
         self.configure_device()
         self.configure_seed()
+        if self.training_config.get("detect_anomaly", False):
+            # the XLA analog of torch.autograd.set_detect_anomaly
+            # (reference training_loop.py:29): error out at the op that
+            # produced a NaN instead of at the loss check
+            import jax
+
+            jax.config.update("jax_debug_nans", True)
 
         self.load_datasets()
         self.load_model()

@@ -204,8 +204,10 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         if self._pending_variables is not None:
             variables = self._pending_variables
             self._pending_variables = None
+        # replicated when the mesh's model axis is 1; tensor-parallel
+        # kernel shardings otherwise (parallel/mesh.py rules)
         variables = jax.device_put(
-            variables, mesh_lib.replicated_sharding(self.mesh)
+            variables, mesh_lib.param_sharding_tree(variables, self.mesh)
         )
         n_params = sum(
             np.prod(x.shape)
