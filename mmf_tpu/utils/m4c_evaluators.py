@@ -129,18 +129,11 @@ class EvalAIAnswerProcessor:
 
 
 def levenshtein(s1: str, s2: str) -> int:
-    """Classic DP edit distance (replaces the editdistance package)."""
-    if len(s1) < len(s2):
-        s1, s2 = s2, s1
-    if not s2:
-        return len(s1)
-    prev = list(range(len(s2) + 1))
-    for i, c1 in enumerate(s1):
-        cur = [i + 1]
-        for j, c2 in enumerate(s2):
-            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
-        prev = cur
-    return prev[-1]
+    """Edit distance (replaces the editdistance package): C kernel via
+    ctypes with a python fallback (utils/native/editdist)."""
+    from mmf_tpu.utils.native.editdist import edit_distance
+
+    return edit_distance(s1, s2)
 
 
 class TextVQAAccuracyEvaluator:
@@ -197,8 +190,13 @@ class STVQAANLSEvaluator:
         return iou if iou >= 0.5 else 0.0
 
     def eval_pred_list(self, pred_list) -> float:
+        from mmf_tpu.utils.native.editdist import anls_best
+
         pred_scores = [
-            max(self.get_anls(e["pred_answer"], gt) for gt in e["gt_answers"])
+            anls_best(
+                e["pred_answer"].lower().strip(),
+                [gt.lower().strip() for gt in e["gt_answers"]],
+            )
             for e in pred_list
         ]
         return sum(pred_scores) / max(len(pred_scores), 1)
