@@ -1,4 +1,7 @@
-"""CLEVR dataset (parity with mmf/datasets/builders/clevr/dataset.py)."""
+"""CLEVR dataset (parity with mmf/datasets/builders/clevr/dataset.py):
+synthetic 3D-scene reasoning. Questions come from per-split
+``CLEVR_<split>_questions.json``; vocabularies for questions and answers
+are built once from the train split and cached under ``vocabs/``."""
 
 from __future__ import annotations
 
@@ -13,100 +16,69 @@ from mmf_tpu.utils.distributed import is_main, synchronize
 from mmf_tpu.utils.general import get_mmf_root
 from mmf_tpu.utils.text import VocabFromText, tokenize
 
-_CONSTANTS = {
-    "questions_folder": "questions",
-    "dataset_key": "clevr",
-    "empty_folder_error": "CLEVR dataset folder is empty.",
-    "questions_key": "questions",
-    "question_key": "question",
-    "answer_key": "answer",
-    "train_dataset_key": "train",
-    "images_folder": "images",
-    "vocabs_folder": "vocabs",
-}
-
-_TEMPLATES = {
-    "data_folder_missing_error": "Data folder {} for CLEVR is not present.",
-    "question_json_file": "CLEVR_{}_questions.json",
-    "vocab_file_template": "{}_{}_vocab.txt",
-}
-
 
 class CLEVRDataset(BaseDataset):
-    """CLEVR reasoning dataset over rendered 3D-shape scenes."""
-
     def __init__(self, config, dataset_type, data_folder=None, *args,
                  **kwargs):
-        super().__init__(_CONSTANTS["dataset_key"], config, dataset_type)
-        self._data_folder = data_folder
+        super().__init__("clevr", config, dataset_type)
         data_dir = config.get("data_dir", "")
-        self._data_dir = (
-            data_dir if os.path.isabs(data_dir)
-            else os.path.join(get_mmf_root(), data_dir)
-        )
-        if not self._data_folder:
-            self._data_folder = os.path.join(
-                self._data_dir, config["data_folder"]
-            )
-        if not os.path.exists(self._data_folder):
+        if not os.path.isabs(data_dir):
+            data_dir = os.path.join(get_mmf_root(), data_dir)
+        self._data_dir = data_dir
+
+        folder = data_folder or os.path.join(data_dir, config["data_folder"])
+        if not os.path.exists(folder):
             raise RuntimeError(
-                _TEMPLATES["data_folder_missing_error"].format(
-                    self._data_folder
-                )
+                f"Data folder {folder} for CLEVR is not present."
             )
-        if config["data_folder"] in os.listdir(self._data_folder):
-            self._data_folder = os.path.join(
-                self._data_folder, config["data_folder"]
-            )
-        if len(os.listdir(self._data_folder)) == 0:
-            raise FileNotFoundError(_CONSTANTS["empty_folder_error"])
+        # archives sometimes extract into a nested directory of the same name
+        if config["data_folder"] in os.listdir(folder):
+            folder = os.path.join(folder, config["data_folder"])
+        if not os.listdir(folder):
+            raise FileNotFoundError("CLEVR dataset folder is empty.")
+        self._data_folder = folder
         self.load()
 
     def load(self):
-        self.image_path = os.path.join(
-            self._data_folder, _CONSTANTS["images_folder"], self._dataset_type
+        split = self._dataset_type
+        self.image_path = os.path.join(self._data_folder, "images", split)
+        questions_json = os.path.join(
+            self._data_folder, "questions",
+            f"CLEVR_{split}_questions.json",
         )
-        with open(
-            os.path.join(
-                self._data_folder,
-                _CONSTANTS["questions_folder"],
-                _TEMPLATES["question_json_file"].format(self._dataset_type),
-            )
-        ) as f:
-            self.questions = json.load(f)[_CONSTANTS["questions_key"]]
-            if is_main():
-                self._build_vocab(self.questions, _CONSTANTS["question_key"])
-                self._build_vocab(self.questions, _CONSTANTS["answer_key"])
-            synchronize()
+        with open(questions_json) as f:
+            self.questions = json.load(f)["questions"]
+        if is_main():
+            for attribute in ("question", "answer"):
+                self._build_vocab(self.questions, attribute)
+        synchronize()
 
     def __len__(self):
         return len(self.questions)
 
     def _get_vocab_path(self, attribute):
         return os.path.join(
-            self._data_dir, _CONSTANTS["vocabs_folder"],
-            _TEMPLATES["vocab_file_template"].format(
-                self.dataset_name, attribute
-            ),
+            self._data_dir, "vocabs",
+            f"{self.dataset_name}_{attribute}_vocab.txt",
         )
 
     def _build_vocab(self, questions, attribute):
-        if self._dataset_type != _CONSTANTS["train_dataset_key"]:
+        # only the train split defines the vocabulary
+        if self._dataset_type != "train":
             return
         vocab_file = self._get_vocab_path(attribute)
         if os.path.exists(vocab_file):
             return
         os.makedirs(os.path.dirname(vocab_file), exist_ok=True)
-        sentences = [q[attribute] for q in questions]
-        build_attributes = self.config.get("build_attributes", {})
-        kwargs = {
-            "min_count": build_attributes.get("min_count", 1),
-            "keep": build_attributes.get("keep", [";", ","]),
-            "remove": build_attributes.get("remove", ["?", "."]),
-        }
-        if attribute == _CONSTANTS["answer_key"]:
-            kwargs["only_unk_extra"] = False
-        vocab = VocabFromText(sentences, **kwargs)
+
+        opts = self.config.get("build_attributes", {})
+        vocab = VocabFromText(
+            [q[attribute] for q in questions],
+            min_count=opts.get("min_count", 1),
+            keep=opts.get("keep", [";", ","]),
+            remove=opts.get("remove", ["?", "."]),
+            only_unk_extra=False,
+        )
         with open(vocab_file, "w") as f:
             f.write("\n".join(vocab.word_list))
 
@@ -114,19 +86,20 @@ class CLEVRDataset(BaseDataset):
         from PIL import Image
 
         data = self.questions[idx]
-        current_sample = Sample()
-        question = data["question"]
-        tokens = tokenize(question, keep=[";", ","], remove=["?", "."])
-        processed = self.text_processor({"tokens": tokens})
-        current_sample.text = processed["text"]
+        sample = Sample()
 
-        processed = self.answer_processor({"answers": [data["answer"]]})
-        current_sample.answers = processed["answers"]
-        current_sample.targets = processed["answers_scores"]
+        tokens = tokenize(data["question"], keep=[";", ","],
+                          remove=["?", "."])
+        sample.text = self.text_processor({"tokens": tokens})["text"]
 
-        image_path = os.path.join(self.image_path, data["image_filename"])
-        image = np.true_divide(
-            np.asarray(Image.open(image_path).convert("RGB")), 255
-        ).astype(np.float32)
-        current_sample.image = image.transpose(2, 0, 1)
-        return current_sample
+        answers = self.answer_processor({"answers": [data["answer"]]})
+        sample.answers = answers["answers"]
+        sample.targets = answers["answers_scores"]
+
+        img = Image.open(
+            os.path.join(self.image_path, data["image_filename"])
+        ).convert("RGB")
+        sample.image = (
+            np.asarray(img, np.float32) / 255.0
+        ).transpose(2, 0, 1)
+        return sample

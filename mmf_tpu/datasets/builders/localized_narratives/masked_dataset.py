@@ -1,7 +1,8 @@
 """Masked Localized Narratives pretraining dataset
 (parity with mmf/datasets/builders/localized_narratives/masked_dataset.py:
-12-70): narrative caption -> MLM over region features or raw images. The
-mixin also backs masked_coco2017 (reference coco2017/masked_dataset.py)."""
+12-70): one narrative caption -> MLM sample over region features or the
+raw image. The mixin also backs masked_coco2017 and masked_flickr30k,
+mirroring the reference's subclass tree."""
 
 from __future__ import annotations
 
@@ -14,39 +15,40 @@ from mmf_tpu.datasets.mmf_dataset import MMFDataset
 
 class MaskedLocalizedNarrativesDatasetMixin:
     def build_annotation_db(self) -> LocalizedNarrativesAnnotationDatabase:
-        annotation_path = self._get_path_based_on_index(
+        path = self._get_path_based_on_index(
             self.config, "annotations", self._index
         )
-        return LocalizedNarrativesAnnotationDatabase(
-            self.config, annotation_path
-        )
+        return LocalizedNarrativesAnnotationDatabase(self.config, path)
 
-    def __getitem__(self, idx: int) -> Sample:
-        sample_info = self.annotation_db[idx]
-        current_sample = Sample()
-        processed_caption = self.masked_token_processor(
-            {"text_a": sample_info["caption"], "text_b": "",
-             "is_correct": True}
-        )
-        current_sample.update(processed_caption)
-        current_sample.image_id = sample_info["image_id"]
-        current_sample.feature_path = sample_info["feature_path"]
-
+    def _visual_input(self, idx: int, info: dict, sample: Sample) -> Sample:
         if self._use_features:
             features = self.features_db[idx]
-            image_info_0 = features.get("image_info_0")
-            if image_info_0 and "image_id" in image_info_0:
-                image_info_0["feature_path"] = image_info_0.pop("image_id")
-            current_sample.update(features)
+            # feature dbs keyed by image_id expose it under image_info_0;
+            # rename so downstream consumers see a feature_path
+            info0 = features.get("image_info_0")
+            if info0 and "image_id" in info0:
+                info0["feature_path"] = info0.pop("image_id")
+            sample.update(features)
         elif self._use_images:
-            image_id = sample_info["image_id"]
-            if "mscoco" in sample_info["dataset_id"]:
+            image_id = info["image_id"]
+            if "mscoco" in info["dataset_id"]:
                 image_id = image_id.rjust(12, "0")
             images = self.image_db.from_path(image_id)["images"]
-            assert len(images) != 0, f"image id: {image_id} not found"
-            current_sample.image = images[0]
+            assert images, f"image id: {image_id} not found"
+            sample.image = images[0]
+        return sample
 
-        return current_sample
+    def __getitem__(self, idx: int) -> Sample:
+        info = self.annotation_db[idx]
+        sample = Sample()
+        sample.update(
+            self.masked_token_processor(
+                {"text_a": info["caption"], "text_b": "", "is_correct": True}
+            )
+        )
+        sample.image_id = info["image_id"]
+        sample.feature_path = info["feature_path"]
+        return self._visual_input(idx, info, sample)
 
 
 class MaskedLocalizedNarrativesDataset(

@@ -35,19 +35,7 @@ class MaskedVisualGenomeDataset(MMFDataset):
         current_sample = Sample()
 
         if self._use_features:
-            features = self.features_db[idx]
-            if hasattr(self, "transformer_bbox_processor"):
-                features["image_info_0"] = self.transformer_bbox_processor(
-                    features["image_info_0"]
-                )
-            if self.config.get("use_image_feature_masks", False):
-                # processor is pure: returns (masked features, labels)
-                masked_feat, region_labels = self.masked_region_processor(
-                    features["image_feature_0"]
-                )
-                features["image_feature_0"] = masked_feat
-                current_sample["image_labels"] = region_labels
-            current_sample.update(features)
+            current_sample = self.add_masked_features(idx, current_sample)
 
         current_sample = self._add_masked_question(sample_info, current_sample)
         if self._add_answer:

@@ -44,6 +44,25 @@ class MMFDataset(BaseDataset):
             self.config, features_path, annotation_db=self.annotation_db
         )
 
+    def add_masked_features(self, idx, sample):
+        """Shared masked-pretraining feature path: fetch region features,
+        run the bbox geometry processor, and (when
+        ``use_image_feature_masks``) swap in masked features + labels.
+        Used by every masked_* dataset."""
+        features = self.features_db[idx]
+        if hasattr(self, "transformer_bbox_processor"):
+            features["image_info_0"] = self.transformer_bbox_processor(
+                features["image_info_0"]
+            )
+        if self.config.get("use_image_feature_masks", False):
+            masked_feat, region_labels = self.masked_region_processor(
+                features["image_feature_0"]
+            )
+            features["image_feature_0"] = masked_feat
+            sample["image_labels"] = region_labels
+        sample.update(features)
+        return sample
+
     def build_image_db(self) -> ImageDatabase:
         image_path = self._get_path_based_on_index(
             self.config, "images", self._index
