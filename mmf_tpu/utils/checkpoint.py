@@ -108,7 +108,25 @@ class Checkpoint:
         synchronize()
         self.max_to_keep = self.config["checkpoint"].get("max_to_keep", -1)
         self.saved_iterations = []
+        # async_save: disk writes happen on a single background thread so
+        # the train loop only pays the device->host gather. Ordering is
+        # preserved (one worker); loads/finalize wait for pending writes.
+        self._async = self.config["checkpoint"].get("async_save", False)
+        self._writer = None
+        self._pending = None
+        if self._async:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._writer = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer"
+            )
         self.save_config()
+
+    def wait_pending(self):
+        """Block until the in-flight async write (if any) is durable."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
 
     def save_config(self):
         if not is_main():
@@ -121,6 +139,7 @@ class Checkpoint:
     # load / resume
     # ------------------------------------------------------------------
     def load_state_dict(self):
+        self.wait_pending()
         ckpt_config = self.config["checkpoint"]
         suffix = "current.ckpt"
         reverse_suffix = "best.ckpt"
@@ -274,18 +293,26 @@ class Checkpoint:
         current_ckpt_filepath = os.path.join(
             self.ckpt_foldername, "current.ckpt"
         )
-        self._write(ckpt_filepath, state, meta)
-        self._copy_dir(ckpt_filepath, current_ckpt_filepath)
 
-        if update_best:
-            best_ckpt_filepath = os.path.join(self.ckpt_foldername, "best.ckpt")
-            self._copy_dir(ckpt_filepath, best_ckpt_filepath)
+        def write_job():
+            self._write(ckpt_filepath, state, meta)
+            self._copy_dir(ckpt_filepath, current_ckpt_filepath)
+            if update_best:
+                best = os.path.join(self.ckpt_foldername, "best.ckpt")
+                self._copy_dir(ckpt_filepath, best)
+            # rotation (reference checkpoint.py:595-598)
+            if self.max_to_keep > 0:
+                if len(self.saved_iterations) == self.max_to_keep:
+                    self.remove(self.saved_iterations.pop(0))
+                self.saved_iterations.append(update)
 
-        # rotation (reference checkpoint.py:595-598)
-        if self.max_to_keep > 0:
-            if len(self.saved_iterations) == self.max_to_keep:
-                self.remove(self.saved_iterations.pop(0))
-            self.saved_iterations.append(update)
+        if self._writer is not None:
+            # state is already host numpy (gathered above): safe to write
+            # concurrently with the next train steps
+            self.wait_pending()
+            self._pending = self._writer.submit(write_job)
+        else:
+            write_job()
         synchronize("ckpt-save")
 
     def _write(self, path: str, state: Dict[str, Any], meta: Dict[str, str]):
@@ -310,6 +337,7 @@ class Checkpoint:
 
     def restore(self):
         """Restore from best.ckpt (end-of-training / early stop)."""
+        self.wait_pending()
         synchronize("ckpt-restore")
         logger.info("Restoring checkpoint")
         best_path = os.path.join(self.ckpt_foldername, "best.ckpt")
@@ -317,6 +345,7 @@ class Checkpoint:
             self._load(best_path)
 
     def finalize(self):
+        self.wait_pending()
         if is_main():
             state = {
                 "variables": jax_device_get(self.trainer.get_variables())
