@@ -1,0 +1,96 @@
+"""Training-step throughput for the flagship model (VisualBERT-base at
+VQA2 shapes): the fused forward+backward+optimizer step, measured the
+same way as bench.py (N steps chained inside one jit, scalar fetch,
+best-of-K) so device time is what's timed, not dispatch.
+
+Usage: python tools/benchmarks/bench_train.py [--batch_size 32]
+       [--dtype bfloat16] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch, _visual_bert
+    from mmf_tpu.modules.losses import Losses
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.trainers.core.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    model = _visual_bert({"dtype": dtype})
+    batch = dict(_example_batch(batch_size=batch_size))
+    batch["targets"] = jnp.zeros((batch_size, 3129), jnp.float32)
+    meta = {"dataset_name": "vqa2", "dataset_type": "train"}
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        dict(batch, **meta), False,
+    )
+    tx = build_optimizer_transform(
+        {"optimizer": {"type": "adam_w", "params": {"lr": 5e-5}},
+         "training": {}},
+        max_grad_norm=1.0,
+    )
+    step = make_train_step(model.apply, Losses([{"type": "logit_bce"}]),
+                           tx, meta=meta)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(2))
+
+    @jax.jit
+    def run_many(state, batch):
+        def body(st, i):
+            b = dict(batch)
+            b["image_feature_0"] = batch["image_feature_0"] + i * 1e-6
+            st, report = step(st, b)
+            return st, report["total_loss"]
+
+        state, losses = jax.lax.scan(
+            body, state, jnp.arange(iters, dtype=jnp.float32)
+        )
+        return state, losses[-1]
+
+    state, loss = run_many(state, batch)  # compile + warmup
+    float(loss)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, loss = run_many(state, batch)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    return batch_size * iters / best
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--dtype", choices=["bfloat16", "float32"],
+                        default="bfloat16")
+    parser.add_argument("--iters", type=int, default=8)
+    args = parser.parse_args()
+    if args.batch_size < 1:
+        parser.error("--batch_size must be >= 1")
+    value = throughput(args.dtype, args.batch_size, args.iters)
+    print(json.dumps({
+        "metric": "VQA2 train samples/sec/chip "
+                  f"(VisualBERT-base fused step, {args.dtype})",
+        "value": round(value, 2),
+        "unit": "samples/sec/chip",
+        "batch_size": args.batch_size,
+    }))
+
+
+if __name__ == "__main__":
+    main()
