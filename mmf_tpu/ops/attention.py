@@ -48,6 +48,27 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # XLA reference path (correctness baseline + backward recompute)
 # ---------------------------------------------------------------------------
+def _logits_dtype(q: jax.Array):
+    """Storage dtype for the materialized [B,H,Sq,Skv] logits.
+
+    Attention here is HBM-bound on this tensor (measured on v5e at
+    B=64,H=12,S=228,D=64: 2008us with f32 logits vs 1619us with bf16 —
+    ~20% of attention time is logit traffic). When the compute dtype is
+    already bf16, storing logits in bf16 adds only ~1 ulp of output noise
+    (max 1.6e-2 at bf16 resolution, mean 3e-4) because the softmax still
+    reduces in f32. f32 inputs keep f32 logits, so the exact-parity path
+    is untouched. Override with MMF_TPU_ATTENTION_LOGITS=f32|bf16.
+    """
+    import os
+
+    forced = os.environ.get("MMF_TPU_ATTENTION_LOGITS", "").lower()
+    if forced == "f32":
+        return jnp.float32
+    if forced == "bf16":
+        return jnp.bfloat16
+    return jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+
+
 def mha_reference(
     q: jax.Array,
     k: jax.Array,
@@ -59,13 +80,15 @@ def mha_reference(
     bias: broadcastable to [B,H,Sq,Skv] (additive, -inf style masking)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    ldt = _logits_dtype(q)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=ldt
     )
-    logits = logits * scale
+    logits = logits * jnp.asarray(scale, ldt)
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)
+        logits = logits + bias.astype(ldt)
+    # softmax always reduces in f32 (upcast fuses into the consumer)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
