@@ -135,6 +135,11 @@ class TestReporter:
 
     def flush_report(self):
         """(reference test_reporter.py:117-164)"""
+        ds = self.current_dataset
+        if ds is not None and hasattr(ds, "on_prediction_end"):
+            # e.g. detection de-dupes per-image entries
+            # (reference coco detection_dataset.py:112-120)
+            self.report = ds.on_prediction_end(self.report)
         if not is_main():
             self.report = []
             return
