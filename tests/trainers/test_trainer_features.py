@@ -116,3 +116,53 @@ def test_log_file_contains_progress(tmp_path):
     content = open(os.path.join(log_dir, logs[0])).read()
     assert "progress" in content and "4/4" in content
     assert "ups" in content and "eta" in content
+
+
+def test_multi_dataset_training(tmp_path):
+    """Joint training over two datasets: per-dataset jitted steps and
+    per-dataset loss keys in the meter."""
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config import omega
+    from tests.trainer_fixtures import NumbersDataset, make_config
+
+    if registry.get_builder_class("numbers2") is None:
+        from mmf_tpu.datasets.base_dataset_builder import BaseDatasetBuilder
+
+        @registry.register_builder("numbers2")
+        class Numbers2Builder(BaseDatasetBuilder):
+            def __init__(self):
+                super().__init__("numbers2")
+
+            @classmethod
+            def config_path(cls):
+                return None
+
+            def build(self, config, dataset_type="train", *a, **kw):
+                return
+
+            def load(self, config, dataset_type="train", *a, **kw):
+                ds = NumbersDataset(48, dataset_type=dataset_type)
+                ds.dataset_name = "numbers2"
+                return ds
+
+    config = make_config(
+        save_dir=str(tmp_path / "multi"),
+        **{"training.max_updates": 6, "training.log_interval": 1,
+           "multitasking.type": "round_robin",
+           "multitasking.params.skip_epoch_check": True},
+    )
+    with omega.open_dict(config):
+        config["datasets"] = "numbers,numbers2"
+        config["dataset_config"]["numbers2"] = {"num_examples": 48,
+                                                "in_dim": 1}
+    registry.register("config", config)
+    from mmf_tpu.trainers.mmf_trainer import build_trainer
+
+    trainer = build_trainer(config)
+    trainer.load()
+    trainer.train()
+    keys = set(trainer.meter.meters.keys())
+    assert "train/numbers/mse" in keys, keys
+    assert "train/numbers2/mse" in keys, keys
+    # one compiled step per dataset
+    assert len(trainer._train_steps) == 2
