@@ -1,17 +1,17 @@
 """Encoders (parity with mmf/modules/encoders.py).
 
 Registered: finetune_faster_rcnn_fpn_fc7, identity, resnet152,
-torchvision_resnet, frcnn (stub over models/frcnn), text_embedding,
-transformer, vit; factories ImageFeatureEncoderFactory/ImageEncoderFactory/
-TextEncoderFactory keep the reference's config contract. Video/audio
-encoders (pytorchvideo, r2plus1d_18, resnet18_audio) are registered but
-raise with a clear message — their backbones are not available in this
-environment (torchvision/pytorchvideo absent).
+torchvision_resnet, frcnn (region features via models/frcnn),
+text_embedding, transformer, vit, r2plus1d_18 (flax R(2+1)D video
+encoder), resnet18_audio (spectrogram ResNet-18), detectron2_resnet
+(caffe-lineage C4 grid features); factories keep the reference's config
+contract. Only ``pytorchvideo`` stays gated (its model zoo has no local
+equivalent; r2plus1d_18 covers the video-encoder role).
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -246,17 +246,197 @@ class ViTEncoder(Encoder):
 
 @registry.register_encoder("frcnn")
 class FRCNNImageEncoder(Encoder):
-    """On-the-fly region features via the in-repo FRCNN
-    (reference encoders.py:410-481). Heavy; see models/frcnn."""
+    """On-the-fly region features via the in-repo GeneralizedRCNN
+    (reference encoders.py:410-481): NHWC/NCHW images -> [B, R, 2048]
+    mean-pooled res5 region features (R = post_nms_topk, padded)."""
 
     in_dim: int = 3
+    post_nms_topk: int = 100
+    depth: int = 50
+
+    @property
+    def out_dim(self):
+        return 2048
 
     @nn.compact
     def __call__(self, x, *a, **k):
-        raise NotImplementedError(
-            "frcnn encoder requires the GeneralizedRCNN port "
-            "(mmf_tpu/models/frcnn.py); use precomputed features instead"
+        from mmf_tpu.models.frcnn import GeneralizedRCNN
+
+        if x.shape[1] == 3 and x.shape[-1] != 3:
+            x = x.transpose(0, 2, 3, 1)
+        shapes = jnp.tile(
+            jnp.asarray(x.shape[1:3], jnp.float32)[None], (x.shape[0], 1)
         )
+        out = GeneralizedRCNN(
+            depth=self.depth, post_nms_topk=self.post_nms_topk,
+            name="module",
+        )(x, shapes)
+        return out["roi_features"]
+
+
+class _Conv2Plus1D(nn.Module):
+    """Factorized 3D conv: spatial (1,k,k) then temporal (k,1,1) with a
+    mid-channel bottleneck sized per the R(2+1)D paper (arXiv:1711.11248)."""
+
+    out_channels: int
+    mid_channels: int
+    stride: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        st, sh, sw = self.stride
+        x = nn.Conv(self.mid_channels, (1, 3, 3), strides=(1, sh, sw),
+                    padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
+                    name="spatial")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn_mid")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (3, 1, 1), strides=(st, 1, 1),
+                    padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
+                    name="temporal")(x)
+        return x
+
+
+def _r2plus1d_mid(in_c: int, out_c: int, t: int = 3, d: int = 3) -> int:
+    return (t * d * d * in_c * out_c) // (d * d * in_c + t * out_c)
+
+
+class _R2Plus1DBlock(nn.Module):
+    out_channels: int
+    stride: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        in_c = x.shape[-1]
+        residual = x
+        y = _Conv2Plus1D(
+            self.out_channels, _r2plus1d_mid(in_c, self.out_channels),
+            self.stride, name="conv1",
+        )(x, train)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1")(y)
+        y = nn.relu(y)
+        y = _Conv2Plus1D(
+            self.out_channels,
+            _r2plus1d_mid(self.out_channels, self.out_channels),
+            name="conv2",
+        )(y, train)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = nn.Conv(self.out_channels, (1, 1, 1),
+                               strides=self.stride, use_bias=False,
+                               name="downsample")(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+@registry.register_encoder("r2plus1d_18")
+class R2Plus1D18VideoEncoder(Encoder):
+    """R(2+1)D-18 video encoder (reference encoders.py:787-808 wraps the
+    torchvision model; this is the architecture in flax). Accepts
+    [B,T,C,H,W] or [B,C,T,H,W]; returns [B, N, 512] feature tokens."""
+
+    pretrained: bool = False  # accepted for config compat; no zoo weights
+    num_output_features: int = 1
+
+    @property
+    def out_dim(self):
+        return 512
+
+    @nn.compact
+    def __call__(self, x, train=False, *a, **k):
+        if x.shape[1] == 3 and x.shape[2] != 3:
+            x = x.transpose(0, 2, 1, 3, 4)  # BCTHW -> BTCHW
+        x = x.transpose(0, 1, 3, 4, 2)  # BTCHW -> BTHWC (conv layout)
+
+        # stem: (2+1)D with 45 mid channels, spatial stride 2
+        x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
+                    padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
+                    name="stem_spatial")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(64, (3, 1, 1), padding=((1, 1), (0, 0), (0, 0)),
+                    use_bias=False, name="stem_temporal")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn2")(x)
+        x = nn.relu(x)
+
+        for i, channels in enumerate((64, 128, 256, 512)):
+            for j in range(2):
+                stride = (2, 2, 2) if (i > 0 and j == 0) else (1, 1, 1)
+                x = _R2Plus1DBlock(channels, stride,
+                                   name=f"layer{i + 1}_{j}")(x, train)
+
+        b = x.shape[0]
+        tokens = x.reshape(b, -1, x.shape[-1])  # [B, T'*H'*W', 512]
+        n = self.num_output_features
+        if n == -1:
+            return tokens
+        s = tokens.shape[1]
+        chunk = s // n
+        return tokens[:, : chunk * n].reshape(b, n, chunk, -1).mean(axis=2)
+
+
+@registry.register_encoder("resnet18_audio")
+class ResNet18AudioEncoder(Encoder):
+    """ResNet-18 over single-channel spectrograms
+    (reference encoders.py:810-828); returns [B, N, 512] tokens."""
+
+    pretrained: bool = False
+    num_output_features: int = -1
+
+    @property
+    def out_dim(self):
+        return 512
+
+    @nn.compact
+    def __call__(self, x, train=False, *a, **k):
+        if x.ndim == 3:
+            x = x[:, None]  # [B, H, W] -> [B, 1, H, W]
+        feats = ResNet(depth=18, features_only=True, name="model")(x, train)
+        b = feats.shape[0]
+        tokens = feats.reshape(b, -1, feats.shape[-1])
+        n = self.num_output_features
+        if n == -1:
+            return tokens
+        s = tokens.shape[1]
+        chunk = s // n
+        return tokens[:, : chunk * n].reshape(b, n, chunk, -1).mean(axis=2)
+
+
+@registry.register_encoder("detectron2_resnet")
+class Detectron2ResnetImageEncoder(Encoder):
+    """Caffe-lineage ResNet-C4 grid features (reference encoders.py:373-409
+    wraps detectron2; this reuses the GeneralizedRCNN backbone stages):
+    images -> [B, N, 1024] res4 tokens."""
+
+    depth: int = 50
+    pretrained: bool = False
+
+    @property
+    def out_dim(self):
+        return 1024
+
+    @nn.compact
+    def __call__(self, x, *a, **k):
+        from mmf_tpu.models.frcnn import _BLOCKS_PER_DEPTH, CaffeBottleneck, Stem
+
+        if x.shape[1] == 3 and x.shape[-1] != 3:
+            x = x.transpose(0, 2, 3, 1)
+        blocks = _BLOCKS_PER_DEPTH[self.depth]
+        x = Stem(name="stem")(x)
+        stage_specs = [
+            (blocks[0], 64, 256, 1, "res2"),
+            (blocks[1], 128, 512, 2, "res3"),
+            (blocks[2], 256, 1024, 2, "res4"),
+        ]
+        for num, bott, out, first_stride, name in stage_specs:
+            for j in range(num):
+                x = CaffeBottleneck(
+                    bottleneck_channels=bott, out_channels=out,
+                    stride=first_stride if j == 0 else 1,
+                    name=f"{name}_{j}",
+                )(x)
+        b = x.shape[0]
+        return x.reshape(b, -1, x.shape[-1])
 
 
 def _unavailable_encoder(name: str, reason: str):
@@ -273,11 +453,9 @@ def _unavailable_encoder(name: str, reason: str):
     return _Unavailable
 
 
-# gated: backbone libraries not present in this image
+# gated: pytorchvideo model zoo has no local equivalent; r2plus1d_18 above
+# covers the video-encoder role
 _unavailable_encoder("pytorchvideo", "pytorchvideo is not installed")
-_unavailable_encoder("r2plus1d_18", "torchvision video models not installed")
-_unavailable_encoder("resnet18_audio", "audio backbone not ported yet")
-_unavailable_encoder("detectron2_resnet", "detectron2 is not installed")
 
 
 class PooledEncoder(nn.Module):
