@@ -97,6 +97,12 @@ def load_yaml(f: str) -> ConfigNode:
                 include = rel
             else:
                 include = os.path.join(get_mmf_root(), original_include)
+                if not os.path.exists(include):
+                    # repo root: lets project configs include other
+                    # project configs (projects/...)
+                    include = os.path.join(
+                        get_mmf_root(), "..", original_include
+                    )
         current_include_mapping = load_yaml(include)
         include_mapping = omega.merge(include_mapping, current_include_mapping)
 
