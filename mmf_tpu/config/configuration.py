@@ -347,6 +347,17 @@ class Configuration:
         omega.set_struct(self.config, False)
 
     def _update_specific(self, config):
+        # `dataset=` (singular, the documented CLI form) populates
+        # `datasets`, the canonical key the trainer reads
+        # (reference configuration.py:560-575)
+        dataset = config.get("dataset", None)
+        if dataset is not None and not config.get("datasets", None):
+            warnings.warn(
+                "'dataset' is deprecated in favor of 'datasets'; "
+                "setting datasets from it"
+            )
+            config["datasets"] = dataset
+
         # batch size vs batch_size_per_device mutual exclusion warning
         tc = config.get("training", None)
         if tc is not None and tc.get("batch_size_per_device", None) is not None:

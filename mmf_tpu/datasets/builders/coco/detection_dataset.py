@@ -98,6 +98,18 @@ class DetectionCOCODataset(BaseDataset):
             target, max_size=self.config.get("max_target_enc_size", 16382)
         )
         current_sample.orig_size = np.asarray(target["orig_size"], np.int64)
+
+        # fixed-pad labels/boxes so the DETR loss consumes them under jit
+        # (-1 label = padding; the reference decodes targets_enc host-side
+        # inside forward, which cannot cross an XLA trace)
+        max_objects = self.config.get("max_objects", 100)
+        labels = np.full((max_objects,), -1, np.int64)
+        padded_boxes = np.zeros((max_objects, 4), np.float32)
+        n = min(len(target["labels"]), max_objects)
+        labels[:n] = np.asarray(target["labels"])[:n]
+        padded_boxes[:n] = np.asarray(target["boxes"], np.float32)[:n]
+        current_sample.labels = labels
+        current_sample.boxes = padded_boxes
         return current_sample
 
     def _load_coco_annotations(self, image, image_id, anno,

@@ -63,9 +63,11 @@ class HungarianMatcher:
             )
 
         cost = jax.vmap(per_batch)(prob, pred_boxes, tgt_labels, tgt_boxes)
+        # the assignment is discrete — no gradient flows through the
+        # matcher (reference matcher.py runs under @torch.no_grad())
         match = jax.pure_callback(
             _assign_host,
             jax.ShapeDtypeStruct(pred_logits.shape[:2], jnp.int32),
-            cost, num_targets,
+            jax.lax.stop_gradient(cost), num_targets,
         )
         return match

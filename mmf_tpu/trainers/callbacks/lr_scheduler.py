@@ -29,4 +29,9 @@ class LRSchedulerCallback(Callback):
                 .get("lr", 0.0)
             )
             mult = float(self._scheduler(self.trainer.num_updates))
+            try:
+                # YAML 1.1 parses bare '5e-5' as a string
+                base_lr = float(base_lr)
+            except (TypeError, ValueError):
+                base_lr = 0.0
             self.trainer.current_lr = base_lr * mult

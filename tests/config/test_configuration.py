@@ -82,3 +82,13 @@ def test_interpolation_nested():
     cfg = omega.create({"a": {"x": 5}, "b": "${a.x}", "c": "v=${a.x}"})
     assert cfg.b == 5
     assert cfg.c == "v=5"
+
+
+def test_singular_dataset_opt_populates_datasets():
+    """`dataset=` (the documented mmf_run form) must flow into
+    config.datasets, which the trainer reads."""
+    cfg = Configuration(["dataset=vqa2", "model=visual_bert"]).get_config()
+    assert cfg.datasets == "vqa2"
+    # plural form wins when both are given
+    cfg2 = Configuration(["dataset=vqa2", "datasets=clevr"]).get_config()
+    assert cfg2.datasets == "clevr"

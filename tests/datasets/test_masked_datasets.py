@@ -244,6 +244,13 @@ def test_detection_coco_dataset(detection_data):
     target = byte_tensor_to_object(sample["targets_enc"], max_size=16382)
     assert target["boxes"].shape == (2, 4)
     assert target["labels"].tolist() == [1, 2]
+    # fixed-pad fields for the jitted DETR loss
+    assert sample["labels"].shape[0] >= 2
+    assert sample["labels"][:2].tolist() == [1, 2]
+    assert (sample["labels"][2:] == -1).all()
+    assert sample["boxes"].shape == (sample["labels"].shape[0], 4)
+    # padded boxes are normalized cxcywh in [0, 1]
+    assert 0.0 <= sample["boxes"][:2].min() and sample["boxes"][:2].max() <= 1.0
 
 
 def test_detection_postprocess(detection_data):
