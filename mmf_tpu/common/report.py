@@ -91,6 +91,29 @@ class Report(collections.OrderedDict):
             return np.asarray(x) if _is_array(x) else x
         return self.apply_fn(_np, fields)
 
+    def trim_to_batch_size(self, n: int) -> "Report":
+        """Drop padded tail rows: slice every array/list field whose leading
+        dim is a multiple k of the padded batch size down to ``k*n``. Used
+        when eval loaders pad the final batch for constant XLA shapes.
+
+        k>1 covers sample-major fan-outs — e.g. retrieval eval flattens
+        (B, factor, ...) caption stacks to (B*factor, ...), so each
+        sample's rows are contiguous and a prefix slice keeps exactly the
+        real samples' rows."""
+        padded = self.batch_size
+        if padded is None or n >= padded:
+            return self
+        for key in self.fields():
+            v = self[key]
+            if (_is_array(v) and v.ndim >= 1 and v.shape[0] > 0
+                    and v.shape[0] % padded == 0):
+                k = v.shape[0] // padded
+                self[key] = v[: k * n]
+            elif isinstance(v, list) and len(v) == padded:
+                self[key] = v[:n]
+        self.batch_size = n
+        return self
+
     # -- eval accumulation (reference report.py:156-184) -----------------
     def accumulate_tensor_fields_and_loss(
         self, report: "Report", field_list: List[str]

@@ -59,6 +59,7 @@ class DataLoader:
         sampler: Optional[EpochSampler] = None,
         shuffle: bool = False,
         drop_last: bool = True,
+        pad_last: bool = False,
         num_workers: int = 2,
         prefetch: int = 2,
         seed: int = 0,
@@ -70,6 +71,10 @@ class DataLoader:
             sampler = EpochSampler(len(dataset), shuffle=shuffle, seed=seed)
         self.sampler = sampler
         self.drop_last = drop_last
+        # pad the final short batch up to batch_size by cycling its indices
+        # (keeps shapes constant for XLA); the true row count rides on the
+        # SampleList so eval can trim before metrics
+        self.pad_last = pad_last and not drop_last
         self.num_workers = max(0, num_workers)
         self.prefetch = prefetch
         self.current_epoch = 0
@@ -95,8 +100,15 @@ class DataLoader:
             yield batch
 
     def _load_batch(self, indices):
+        n_valid = len(indices)
+        if self.pad_last and n_valid < self.batch_size:
+            indices = [indices[i % n_valid]
+                       for i in range(self.batch_size)]
         samples = [self.dataset[i] for i in indices]
-        return self.collate_fn(samples)
+        batch = self.collate_fn(samples)
+        if len(indices) != n_valid:
+            object.__setattr__(batch, "_true_batch_size", n_valid)
+        return batch
 
     def __iter__(self):
         if self.num_workers == 0 or self.prefetch == 0:
@@ -166,7 +178,11 @@ def build_dataloader_and_sampler(dataset, training_config, dataset_type="train",
         batch_size=batch_size,
         collate_fn=collate,
         sampler=sampler,
-        drop_last=True,
+        # train: constant-shape steps, tail dropped (epoch reshuffles cover
+        # it); eval: pad the tail batch and trim after device_get so every
+        # sample is scored exactly once
+        drop_last=dataset_type == "train",
+        pad_last=dataset_type != "train",
         num_workers=training_config.get("num_workers", 4),
     )
     loader.dataset_name = getattr(dataset, "dataset_name", "unknown")

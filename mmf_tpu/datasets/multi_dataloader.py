@@ -87,9 +87,9 @@ class MultiDataLoader:
         return list(self.loaders.values())[0]
 
     def __len__(self) -> int:
-        # always drop_last: constant global batch shapes for XLA
-        batch_size = self.first_loader.batch_size * get_world_size()
-        return self._total_length // batch_size
+        # inner loaders know their own drop-last (train) / pad-last (eval)
+        # batch accounting
+        return sum(len(loader) for loader in self.loaders.values())
 
     def __iter__(self):
         self._finished_iterators = {}

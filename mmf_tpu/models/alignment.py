@@ -44,13 +44,23 @@ class CMSharedTransformer(BaseModel):
             }
         )
 
-        # text branch
+        # text branch; eval retrieval batches stack `factor` captions per
+        # image along a leading axis — flatten so texts count B*factor
+        input_ids = sample_list["input_ids"]
+        input_mask = sample_list.get("input_mask")
+        segment_ids = sample_list.get("segment_ids")
+        if input_ids.ndim == 3:
+            input_ids = input_ids.reshape(-1, input_ids.shape[-1])
+            if input_mask is not None and input_mask.ndim == 3:
+                input_mask = input_mask.reshape(-1, input_mask.shape[-1])
+            if segment_ids is not None and segment_ids.ndim == 3:
+                segment_ids = segment_ids.reshape(-1, segment_ids.shape[-1])
         text_enc = build_text_encoder(
             c.get("text_encoder", {"type": "transformer", "params": {}})
         )
         text_seq = text_enc(
-            sample_list["input_ids"], sample_list.get("input_mask"),
-            sample_list.get("segment_ids"), deterministic=deterministic,
+            input_ids, input_mask,
+            segment_ids, deterministic=deterministic,
             return_sequence=True,
         )
         text_proj = nn.Dense(final_dim, name="text_projection")(text_seq)
@@ -68,9 +78,8 @@ class CMSharedTransformer(BaseModel):
         # shared transformer layer over each modality separately
         shared = TransformerLayer(tcfg, name="shared_transformer")
         text_bias = None
-        if "input_mask" in sample_list:
-            text_bias = make_attention_bias(sample_list["input_mask"],
-                                            tcfg.dtype)
+        if input_mask is not None:
+            text_bias = make_attention_bias(input_mask, tcfg.dtype)
         text_out = shared(text_proj, bias=text_bias,
                           deterministic=deterministic)
         image_out = shared(image_proj, deterministic=deterministic)

@@ -438,6 +438,9 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             }
             report = Report(batch, output)
             report = report.to_numpy()
+            true_bs = getattr(batch, "_true_batch_size", None)
+            if true_bs is not None:
+                report.trim_to_batch_size(true_bs)
             meter.update_from_report(report)
 
             moved_report = report
@@ -477,6 +480,9 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                     eval_fn(self.train_state.variables, device_batch)
                 )
                 report = Report(batch, output).to_numpy()
+                true_bs = getattr(batch, "_true_batch_size", None)
+                if true_bs is not None:
+                    report.trim_to_batch_size(true_bs)
                 reporter.add_to_report(report, self.model)
         # the final next_dataset() call (returning False) flushed the last
         # dataset's report already
