@@ -73,3 +73,18 @@ def test_model_configs_define_their_section():
         if "model_config" not in cfg:
             bad.append((name, path))
     assert not bad, f"model configs without model_config section: {bad}"
+
+
+def test_every_project_config_resolves_includes():
+    """Loading each project yaml through load_yaml must resolve its whole
+    includes: chain (catches dangling include paths as configs grow)."""
+    from mmf_tpu.config.configuration import load_yaml
+
+    files = sorted(
+        glob.glob(os.path.join(REPO, "projects", "**", "*.yaml"),
+                  recursive=True)
+    )
+    assert len(files) > 100
+    for path in files:
+        cfg = load_yaml(path)
+        assert cfg is not None, path
