@@ -332,13 +332,19 @@ def set_struct(cfg: ConfigNode, value: bool):
                     set_struct(item, value)
 
 
-def to_container(cfg: Any, resolve: bool = False) -> Any:
+def to_container(cfg: Any, resolve: bool = False, _root: Any = None) -> Any:
     if isinstance(cfg, ConfigNode):
+        root = _ROOT.get(id(cfg)) or cfg
         if resolve:
-            return {k: to_container(cfg[k], True) for k in dict.keys(cfg)}
-        return {k: to_container(dict.__getitem__(cfg, k), False) for k in dict.keys(cfg)}
+            return {k: to_container(cfg[k], True, root) for k in dict.keys(cfg)}
+        return {k: to_container(dict.__getitem__(cfg, k), False, root)
+                for k in dict.keys(cfg)}
     if isinstance(cfg, list):
-        return [to_container(v, resolve) for v in cfg]
+        return [to_container(v, resolve, _root) for v in cfg]
+    # interpolations nested inside lists don't pass through
+    # ConfigNode.__getitem__, so resolve them here
+    if resolve and isinstance(cfg, str) and "${" in cfg and _root is not None:
+        return _resolve_str(cfg, _root)
     return cfg
 
 

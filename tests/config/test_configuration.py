@@ -92,3 +92,13 @@ def test_singular_dataset_opt_populates_datasets():
     # plural form wins when both are given
     cfg2 = Configuration(["dataset=vqa2", "datasets=clevr"]).get_config()
     assert cfg2.datasets == "clevr"
+
+
+def test_interpolation_inside_lists_resolves():
+    cfg = Configuration(default_only=True)
+    node = omega.create({
+        "size": {"w": 224},
+        "params": {"image_size": ["${size.w}", "${size.w}"]},
+    })
+    resolved = omega.resolve_all(node)
+    assert resolved.params.image_size == [224, 224]
