@@ -1,0 +1,295 @@
+"""Golden-logit parity against the actual PyTorch reference at
+/root/reference (the BASELINE.json north star: converted weights must
+reproduce reference outputs within fp32 tolerance).
+
+The reference imports through tests.reference_parity.shims (only for
+modules genuinely absent from this image); shims are installed by a
+module fixture and removed afterwards so gated-import behavior elsewhere
+is unaffected."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmf_tpu.utils.checkpoint_updater import (
+    HF_BERT_KEY_MAP,
+    convert_torch_state_dict,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/mmf"),
+    reason="reference checkout not mounted",
+)
+
+ATOL = 2e-5
+
+
+@pytest.fixture(scope="module")
+def ref():
+    from tests.reference_parity import shims
+
+    shims.install()
+    import mmf.models.m4c as ref_m4c
+    import mmf.models.vilbert as ref_vilbert
+    import mmf.models.visual_bert as ref_visual_bert
+
+    yield {
+        "m4c": ref_m4c,
+        "vilbert": ref_vilbert,
+        "visual_bert": ref_visual_bert,
+    }
+    shims.uninstall()
+
+
+def _state_dict_np(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_visual_bert_base_full_visual_parity(ref):
+    """Reference VisualBERTBase (text + projected visual spans) vs our
+    trunk with converted weights — the full fusion path, not just text."""
+    import jax
+    import torch
+    from transformers import BertConfig
+
+    from mmf_tpu.models.visual_bert import VisualBertBase
+    from mmf_tpu.modules.transformer import TransformerConfig
+
+    torch.manual_seed(0)
+    bert_config = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    tmodel = ref["visual_bert"].VisualBERTBase(
+        bert_config, visual_embedding_dim=8
+    ).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    jmodel = VisualBertBase(cfg, visual_embedding_dim=8)
+
+    B, S, R = 2, 6, 4
+    rng = np.random.RandomState(0)
+    input_ids = rng.randint(0, 120, (B, S))
+    token_type_ids = np.zeros((B, S), np.int64)
+    visual = rng.randn(B, R, 8).astype(np.float32)
+    visual_type = np.ones((B, R), np.int64)
+    # mixed mask: pad the last text token and last region of sample 1
+    mask = np.ones((B, S + R), np.float32)
+    mask[1, S - 1] = 0
+    mask[1, -1] = 0
+
+    with torch.no_grad():
+        t_seq, t_pooled, _ = tmodel(
+            torch.from_numpy(input_ids),
+            torch.from_numpy(mask),
+            torch.from_numpy(token_type_ids),
+            torch.from_numpy(visual),
+            torch.from_numpy(visual_type),
+        )
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), input_ids, mask, token_type_ids, visual,
+        visual_type,
+    )
+    converted, stats = convert_torch_state_dict(
+        _state_dict_np(tmodel), params["params"], key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0
+    assert stats["matched"] == 43  # 9 emb + 16x2 layers + 2 pooler
+
+    j_seq, j_pooled = jmodel.apply(
+        {"params": converted}, input_ids, mask, token_type_ids, visual, visual_type
+    )
+    np.testing.assert_allclose(np.asarray(j_seq), t_seq.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_pooled), t_pooled.numpy(),
+                               atol=ATOL)
+
+
+VILBERT_CONNECTION_KEY_MAP = {
+    r"^biattention\.": "",
+    r"^biOutput\.dense1": "biout_dense1",
+    r"^biOutput\.LayerNorm1": "biout_ln1",
+    r"^biOutput\.dense2": "biout_dense2",
+    r"^biOutput\.LayerNorm2": "biout_ln2",
+    r"^v_intermediate\.dense": "v_intermediate",
+    r"^v_output\.dense": "v_output",
+    r"^v_output\.LayerNorm": "v_output_ln",
+    r"^t_intermediate\.dense": "t_intermediate",
+    r"^t_output\.dense": "t_output",
+    r"^t_output\.LayerNorm": "t_output_ln",
+}
+
+
+def test_vilbert_connection_layer_parity(ref):
+    """Reference BertConnectionLayer (bi-attention bridge + per-stream
+    FFNs) vs our ConnectionLayer with converted weights."""
+    import jax
+    import torch
+    from types import SimpleNamespace
+
+    from mmf_tpu.models.vilbert import ConnectionLayer
+
+    torch.manual_seed(1)
+    config = SimpleNamespace(
+        bi_hidden_size=24, bi_num_attention_heads=4,
+        v_hidden_size=20, hidden_size=16,
+        v_attention_probs_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        v_hidden_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        v_intermediate_size=40, intermediate_size=32,
+        v_hidden_act="gelu", hidden_act="gelu", visualization=False,
+        layer_norm_eps=1e-12,
+    )
+    tlayer = ref["vilbert"].BertConnectionLayer(config).eval()
+
+    our_cfg = {
+        "bi_hidden_size": 24, "bi_num_attention_heads": 4,
+        "v_hidden_size": 20, "hidden_size": 16,
+        "v_intermediate_size": 40, "intermediate_size": 32,
+        "v_hidden_act": "gelu", "hidden_act": "gelu",
+        "v_hidden_dropout_prob": 0.0, "hidden_dropout_prob": 0.0,
+    }
+    jlayer = ConnectionLayer(our_cfg)
+
+    B, TV, TT = 2, 5, 7
+    rng = np.random.RandomState(1)
+    v_hidden = rng.randn(B, TV, 20).astype(np.float32)
+    t_hidden = rng.randn(B, TT, 16).astype(np.float32)
+    # additive extended masks; pad the tail of each stream in sample 0
+    v_mask = np.zeros((B, 1, 1, TV), np.float32)
+    t_mask = np.zeros((B, 1, 1, TT), np.float32)
+    v_mask[0, ..., -1] = -10000.0
+    t_mask[0, ..., -2:] = -10000.0
+
+    with torch.no_grad():
+        t_v, t_t, _ = tlayer(
+            torch.from_numpy(v_hidden), torch.from_numpy(v_mask),
+            torch.from_numpy(t_hidden), torch.from_numpy(t_mask),
+        )
+
+    params = jlayer.init(
+        jax.random.PRNGKey(0), v_hidden, v_mask, t_hidden, t_mask
+    )
+    converted, stats = convert_torch_state_dict(
+        _state_dict_np(tlayer), params["params"], key_map=VILBERT_CONNECTION_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0
+    # q_dense1/q_dense2 exist in the reference but are unused in forward
+    assert stats["matched"] >= 32
+
+    j_v, j_t = jlayer.apply({"params": converted}, v_hidden, v_mask, t_hidden, t_mask)
+    np.testing.assert_allclose(np.asarray(j_v), t_v.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_t), t_t.numpy(), atol=ATOL)
+
+
+def test_m4c_mmt_prefix_lm_parity(ref):
+    """Reference MMT (joint transformer with prefix-LM causal decode span,
+    incl. PrevPredEmbeddings answer/OCR gather) vs ours."""
+    import jax
+    import torch
+    from transformers import BertConfig
+
+    from mmf_tpu.models.m4c import MMT
+    from mmf_tpu.modules.transformer import TransformerConfig
+
+    torch.manual_seed(2)
+    H = 32
+    bert_config = BertConfig(
+        vocab_size=30, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    tmodel = ref["m4c"].MMT(bert_config).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=30, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    jmodel = MMT(cfg)
+
+    B, T_TXT, T_OBJ, T_OCR, T_DEC, N_ANS = 2, 5, 4, 3, 6, 11
+    rng = np.random.RandomState(2)
+    txt_emb = rng.randn(B, T_TXT, H).astype(np.float32)
+    obj_emb = rng.randn(B, T_OBJ, H).astype(np.float32)
+    ocr_emb = rng.randn(B, T_OCR, H).astype(np.float32)
+    fixed_ans_emb = rng.randn(N_ANS, H).astype(np.float32)
+    prev_inds = rng.randint(0, N_ANS + T_OCR, (B, T_DEC))
+    txt_mask = np.ones((B, T_TXT), np.float32)
+    txt_mask[1, -1] = 0
+    obj_mask = np.ones((B, T_OBJ), np.float32)
+    ocr_mask = np.ones((B, T_OCR), np.float32)
+    ocr_mask[0, -1] = 0
+
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(txt_emb), torch.from_numpy(txt_mask),
+            torch.from_numpy(obj_emb), torch.from_numpy(obj_mask),
+            torch.from_numpy(ocr_emb), torch.from_numpy(ocr_mask),
+            torch.from_numpy(fixed_ans_emb),
+            torch.from_numpy(prev_inds),
+        )
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), txt_emb, txt_mask, obj_emb, obj_mask,
+        ocr_emb, ocr_mask, fixed_ans_emb, prev_inds,
+    )
+    converted, stats = convert_torch_state_dict(
+        _state_dict_np(tmodel), params["params"], key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0
+
+    j_out = jmodel.apply(
+        {"params": converted}, txt_emb, txt_mask, obj_emb, obj_mask, ocr_emb,
+        ocr_mask, fixed_ans_emb, prev_inds,
+    )
+    for key in ("mmt_seq_output", "mmt_txt_output", "mmt_ocr_output",
+                "mmt_dec_output"):
+        np.testing.assert_allclose(
+            np.asarray(j_out[key]), t_out[key].numpy(), atol=ATOL,
+            err_msg=key,
+        )
+
+
+def test_m4c_ocr_ptr_net_parity(ref):
+    """Reference OcrPtrNet (dynamic copy scores) vs ours."""
+    import jax
+    import torch
+
+    from mmf_tpu.models.m4c import OcrPtrNet
+
+    torch.manual_seed(3)
+    H = 16
+    tnet = ref["m4c"].OcrPtrNet(hidden_size=H).eval()
+    jnet = OcrPtrNet(hidden_size=H)
+
+    B, T_DEC, T_OCR = 2, 5, 4
+    rng = np.random.RandomState(3)
+    query = rng.randn(B, T_DEC, H).astype(np.float32)
+    keys = rng.randn(B, T_OCR, H).astype(np.float32)
+    mask = np.ones((B, T_OCR), np.float32)
+    mask[1, -2:] = 0
+
+    with torch.no_grad():
+        t_scores = tnet(torch.from_numpy(query), torch.from_numpy(keys),
+                        torch.from_numpy(mask))
+
+    params = jnet.init(jax.random.PRNGKey(0), query, keys, mask)
+    converted, stats = convert_torch_state_dict(
+        _state_dict_np(tnet), params["params"]
+    )
+    assert stats["matched"] == 4 and stats["shape_mismatch"] == 0
+
+    j_scores = jnet.apply({"params": converted}, query, keys, mask)
+    np.testing.assert_allclose(np.asarray(j_scores), t_scores.numpy(),
+                               atol=ATOL)
