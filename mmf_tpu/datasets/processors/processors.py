@@ -769,12 +769,13 @@ class TransformerBboxProcessor(BaseProcessor):
         self.image_height_key = config.get("image_height_key", "image_height")
 
     def __call__(self, item):
-        info = item["info"]
-        image_w = float(info[self.image_width_key])
-        image_h = float(info[self.image_height_key])
-        bbox = np.asarray(info[self.bbox_key], np.float32)
+        # the item IS the info dict (image_info_0); the reference mutates
+        # and returns it with bbox replaced by [x1,y1,x2,y2,area] normalized
+        image_w = float(item[self.image_width_key])
+        image_h = float(item[self.image_height_key])
+        bbox = np.asarray(item[self.bbox_key], np.float32)
         image_location = np.zeros((bbox.shape[0], 5), np.float32)
-        image_location[:, :4] = bbox
+        image_location[:, :4] = bbox[:, :4]
         image_location[:, 4] = (
             (image_location[:, 3] - image_location[:, 1])
             * (image_location[:, 2] - image_location[:, 0])
@@ -784,7 +785,8 @@ class TransformerBboxProcessor(BaseProcessor):
         image_location[:, 1] /= image_h
         image_location[:, 2] /= image_w
         image_location[:, 3] /= image_h
-        return {"bbox": image_location}
+        item["bbox"] = image_location
+        return item
 
 
 @registry.register_processor("multi_class_from_file")

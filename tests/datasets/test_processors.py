@@ -129,8 +129,8 @@ def test_copy_processor():
 def test_transformer_bbox_processor():
     cls = registry.get_processor_class("transformer_bbox")
     proc = cls({})
-    out = proc({"info": {"bbox": [[0, 0, 50, 100]], "image_width": 100,
-                         "image_height": 200}})
+    out = proc({"bbox": np.asarray([[0, 0, 50, 100]], np.float32),
+                "image_width": 100, "image_height": 200})
     bbox = out["bbox"]
     assert bbox.shape == (1, 5)
     np.testing.assert_allclose(bbox[0, :4], [0, 0, 0.5, 0.5])
