@@ -277,11 +277,12 @@ class ViLBertBase(nn.Module):
         for idx in range(t_start, c["num_hidden_layers"]):
             txt = t_layers[idx](txt, t_bias, deterministic)
 
-        # poolers: project CLS / first region into bi_hidden
-        pooled_t = nn.tanh(
+        # poolers: project CLS / first region into bi_hidden; the reference
+        # uses ReLU here, not BERT's usual tanh (vilbert.py:799-825)
+        pooled_t = nn.relu(
             nn.Dense(c["bi_hidden_size"], name="t_pooler")(txt[:, 0])
         )
-        pooled_v = nn.tanh(
+        pooled_v = nn.relu(
             nn.Dense(c["bi_hidden_size"], name="v_pooler")(img[:, 0])
         )
         return txt, img, pooled_t, pooled_v

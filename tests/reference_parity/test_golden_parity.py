@@ -293,3 +293,141 @@ def test_m4c_ocr_ptr_net_parity(ref):
     j_scores = jnet.apply({"params": converted}, query, keys, mask)
     np.testing.assert_allclose(np.asarray(j_scores), t_scores.numpy(),
                                atol=ATOL)
+
+
+VILBERT_TRUNK_KEY_MAP = {
+    r"^encoder\.layer\.(\d+)\.attention\.self\.": r"layer_\1.",
+    r"^encoder\.layer\.(\d+)\.attention\.output\.dense":
+        r"layer_\1.attention_output_dense",
+    r"^encoder\.layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"layer_\1.attention_ln",
+    r"^encoder\.layer\.(\d+)\.intermediate\.dense":
+        r"layer_\1.intermediate_dense",
+    r"^encoder\.layer\.(\d+)\.output\.dense": r"layer_\1.output_dense",
+    r"^encoder\.layer\.(\d+)\.output\.LayerNorm": r"layer_\1.output_ln",
+    r"^encoder\.v_layer\.(\d+)\.attention\.self\.":
+        r"v_layer_\1.attention_self.",
+    r"^encoder\.v_layer\.(\d+)\.attention\.output\.dense":
+        r"v_layer_\1.attention_output_dense",
+    r"^encoder\.v_layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"v_layer_\1.attention_ln",
+    r"^encoder\.v_layer\.(\d+)\.intermediate\.dense":
+        r"v_layer_\1.intermediate_dense",
+    r"^encoder\.v_layer\.(\d+)\.output\.dense": r"v_layer_\1.output_dense",
+    r"^encoder\.v_layer\.(\d+)\.output\.LayerNorm": r"v_layer_\1.output_ln",
+    r"^encoder\.c_layer\.(\d+)\.biattention\.": r"c_layer_\1.",
+    r"^encoder\.c_layer\.(\d+)\.biOutput\.dense1": r"c_layer_\1.biout_dense1",
+    r"^encoder\.c_layer\.(\d+)\.biOutput\.LayerNorm1":
+        r"c_layer_\1.biout_ln1",
+    r"^encoder\.c_layer\.(\d+)\.biOutput\.dense2": r"c_layer_\1.biout_dense2",
+    r"^encoder\.c_layer\.(\d+)\.biOutput\.LayerNorm2":
+        r"c_layer_\1.biout_ln2",
+    r"^encoder\.c_layer\.(\d+)\.v_intermediate\.dense":
+        r"c_layer_\1.v_intermediate",
+    r"^encoder\.c_layer\.(\d+)\.v_output\.dense": r"c_layer_\1.v_output",
+    r"^encoder\.c_layer\.(\d+)\.v_output\.LayerNorm":
+        r"c_layer_\1.v_output_ln",
+    r"^encoder\.c_layer\.(\d+)\.t_intermediate\.dense":
+        r"c_layer_\1.t_intermediate",
+    r"^encoder\.c_layer\.(\d+)\.t_output\.dense": r"c_layer_\1.t_output",
+    r"^encoder\.c_layer\.(\d+)\.t_output\.LayerNorm":
+        r"c_layer_\1.t_output_ln",
+    r"^v_embeddings\.image_embeddings": "v_image_embeddings",
+    r"^v_embeddings\.image_location_embeddings": "v_location_embeddings",
+    r"^v_embeddings\.LayerNorm": "v_embeddings_ln",
+    r"^embeddings\.LayerNorm": "embeddings.layer_norm",
+    r"^t_pooler\.dense": "t_pooler",
+    r"^v_pooler\.dense": "v_pooler",
+}
+
+
+def test_vilbert_full_trunk_parity(ref):
+    """Reference ViLBERTBase end-to-end: embeddings, interleaved two-stream
+    encoder with the co-attention schedule, ReLU poolers."""
+    import jax
+    import torch
+    from transformers import BertConfig
+
+    from mmf_tpu.models.vilbert import ViLBertBase
+
+    # the reference's replace_with_jit() patches the *installed* HF
+    # transformers internals, which have changed; ViLBERT defines its own
+    # layer classes, so the patch is irrelevant to these numerics
+    ref["vilbert"].replace_with_jit = lambda *a, **k: None
+
+    torch.manual_seed(4)
+    H, VH, BI = 16, 20, 24
+    common = dict(
+        vocab_size=80, hidden_size=H, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=32,
+        max_position_embeddings=30, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bert_config = BertConfig(**common)
+    for k, v in dict(
+        v_feature_size=12, v_hidden_size=VH, v_num_hidden_layers=3,
+        v_num_attention_heads=4, v_intermediate_size=40,
+        v_attention_probs_dropout_prob=0.0, v_hidden_dropout_prob=0.0,
+        v_hidden_act="gelu", bi_hidden_size=BI, bi_num_attention_heads=4,
+        v_biattention_id=[1, 2], t_biattention_id=[2, 3],
+        fixed_t_layer=0, fixed_v_layer=0, fast_mode=False,
+        with_coattention=True, dynamic_attention=False,
+        in_batch_pairs=False, visualization=False,
+        task_specific_tokens=False, visual_target=0,
+    ).items():
+        setattr(bert_config, k, v)
+    tmodel = ref["vilbert"].ViLBERTBase(bert_config).eval()
+
+    our_cfg = dict(common)
+    our_cfg.update(
+        v_feature_size=12, v_hidden_size=VH, v_num_hidden_layers=3,
+        v_num_attention_heads=4, v_intermediate_size=40,
+        v_hidden_act="gelu", bi_hidden_size=BI, bi_num_attention_heads=4,
+        v_biattention_id=[1, 2], t_biattention_id=[2, 3],
+        fixed_t_layer=0, fixed_v_layer=0, with_coattention=True,
+        v_hidden_dropout_prob=0.0,
+    )
+    jmodel = ViLBertBase(our_cfg)
+
+    B, S, R = 2, 7, 5
+    rng = np.random.RandomState(4)
+    input_ids = rng.randint(0, 80, (B, S))
+    image_feature = rng.randn(B, R, 12).astype(np.float32)
+    image_location = rng.rand(B, R, 5).astype(np.float32)
+    token_type_ids = np.zeros((B, S), np.int64)
+    attention_mask = np.ones((B, S), np.float32)
+    attention_mask[1, -2:] = 0
+    image_attention_mask = np.ones((B, R), np.float32)
+    image_attention_mask[0, -1] = 0
+
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(input_ids),
+            torch.from_numpy(image_feature),
+            torch.from_numpy(image_location),
+            torch.from_numpy(token_type_ids),
+            torch.from_numpy(attention_mask),
+            torch.from_numpy(image_attention_mask),
+        )
+    t_seq_t, t_seq_v, t_pooled_t, t_pooled_v = t_out[:4]
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), input_ids, image_feature, image_location,
+        token_type_ids, attention_mask, image_attention_mask,
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    converted, stats = convert_torch_state_dict(
+        sd, params["params"], key_map=VILBERT_TRUNK_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0, stats
+
+    j_txt, j_img, j_pooled_t, j_pooled_v = jmodel.apply(
+        {"params": converted}, input_ids, image_feature, image_location,
+        token_type_ids, attention_mask, image_attention_mask,
+    )
+    np.testing.assert_allclose(np.asarray(j_txt), t_seq_t.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_img), t_seq_v.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_pooled_t), t_pooled_t.numpy(),
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_pooled_v), t_pooled_v.numpy(),
+                               atol=ATOL)
