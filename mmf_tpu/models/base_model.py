@@ -61,6 +61,12 @@ class BaseModel(nn.Module):
         loss_list = []
         if self.config is not None:
             loss_list = self.config.get("losses", []) or []
+        if isinstance(loss_list, (dict,)) or (
+            hasattr(loss_list, "keys") and not isinstance(loss_list, list)
+        ):
+            # dict-style losses (ViLT/mmft heads: {head_loss_key: loss_type})
+            # are resolved inside the transformer heads, not by the trainer
+            loss_list = []
         return Losses(loss_list)
 
     # linen __call__ to be implemented by subclasses

@@ -176,7 +176,8 @@ class MMFTransformer(BaseTransformer):
 
         head_configs = c.get("heads", [{"type": "mlp",
                                         "num_labels": c.get("num_labels", 2)}])
-        heads_dict = build_heads_dict(head_configs, tasks=[])
+        heads_dict = build_heads_dict(head_configs, tasks=[],
+                                      losses=c.get("losses", {}))
         outputs: Dict[str, Any] = {"losses": {}}
         names = (
             heads_dict.names_for(sl.get("dataset_name", "unknown"))

@@ -53,15 +53,45 @@ class HeadsDict:
     list (applies to all datasets) or {dataset: [head names]}; losses maps
     head name -> loss key."""
 
-    def __init__(self, heads: Dict[str, Any], head_names, losses=None):
+    def __init__(self, heads: Dict[str, Any], head_names, losses=None,
+                 head_loss_names=None):
         self.heads = heads
         self.head_names = head_names
-        self.losses = losses or {}
+        # {loss_key: loss_type} from the model config (reference passes
+        # MMFLoss instances; we instantiate the registered loss lazily).
+        # List-style losses belong to the trainer's Losses container.
+        if not hasattr(losses, "keys"):
+            losses = {}
+        self.losses = dict(losses or {})
+        # {head_name: loss_key or None}
+        self.head_loss_names = dict(head_loss_names or {})
+        self._loss_fns: Dict[str, Any] = {}
 
     def names_for(self, dataset_name: str) -> List[str]:
         if isinstance(self.head_names, dict):
             return list(self.head_names.get(dataset_name, []))
         return list(self.head_names)
+
+    def _loss_fn(self, loss_key: str):
+        if loss_key not in self._loss_fns:
+            from mmf_tpu.common.registry import registry
+
+            loss_type = self.losses.get(loss_key)
+            if loss_type is None:
+                raise ValueError(
+                    f"Head declares loss '{loss_key}' but model_config."
+                    f"losses has no such key"
+                )
+            if isinstance(loss_type, dict):
+                cls = registry.get_loss_class(loss_type["type"])
+                self._loss_fns[loss_key] = cls(
+                    **(loss_type.get("params", {}) or {})
+                )
+            else:
+                self._loss_fns[loss_key] = registry.get_loss_class(
+                    loss_type
+                )()
+        return self._loss_fns[loss_key]
 
     def __call__(self, dataset_name, sequence_output, sample_list,
                  deterministic=True):
@@ -70,10 +100,20 @@ class HeadsDict:
             head = self.heads[name]
             out = head(sequence_output, processed_sample_list=sample_list,
                        deterministic=deterministic)
+            if not isinstance(out, dict):
+                out = {"scores": out}
+            if "losses" in out:
+                outputs["losses"].update(out["losses"])
+            else:
+                # head returned raw scores: apply its declared loss
+                # (reference heads/utils.py _process_head_output)
+                loss_key = self.head_loss_names.get(name)
+                if loss_key is not None and "targets" in sample_list:
+                    outputs["losses"][loss_key] = self._loss_fn(loss_key)(
+                        sample_list, {"scores": out["scores"]}
+                    )
             for k, v in out.items():
-                if k == "losses":
-                    outputs["losses"].update(v)
-                else:
+                if k != "losses":
                     outputs[k] = v
         if not outputs["losses"]:
             outputs.pop("losses")
@@ -92,17 +132,19 @@ def build_heads_dict(head_configs, tasks, losses=None) -> HeadsDict:
     """(reference heads/utils.py:24-120). head_configs is either a list of
     head configs (applied to all tasks) or {dataset: [head configs]}."""
     heads: Dict[str, Any] = {}
+    head_loss_names: Dict[str, Any] = {}
 
     def register(hc, idx):
         name = hc.get("head_name", hc.get("type", f"head_{idx}"))
         if name in heads:
             name = f"{name}_{idx}"
         heads[name] = build_head(hc)
+        head_loss_names[name] = hc.get("loss", None)
         return name
 
     if isinstance(head_configs, (list, tuple)):
         names = [register(hc, i) for i, hc in enumerate(head_configs)]
-        return HeadsDict(heads, names, losses)
+        return HeadsDict(heads, names, losses, head_loss_names)
 
     head_names: Dict[str, List[str]] = {}
     for dataset, hcs in (head_configs or {}).items():
@@ -111,7 +153,7 @@ def build_heads_dict(head_configs, tasks, losses=None) -> HeadsDict:
         head_names[dataset] = [
             register(hc, i) for i, hc in enumerate(hcs)
         ]
-    return HeadsDict(heads, head_names, losses)
+    return HeadsDict(heads, head_names, losses, head_loss_names)
 
 
 class BaseTransformer(BaseModel):

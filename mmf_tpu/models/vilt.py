@@ -93,7 +93,8 @@ class ViLT(BaseModel):
             ) else []
         if isinstance(tasks, str):
             tasks = tasks.split(",")
-        return build_heads_dict(head_configs, tasks)
+        return build_heads_dict(head_configs, tasks,
+                                losses=self.config.get("losses", {}))
 
     def _infer_itm_labels(self, sample_list):
         if "is_correct" in sample_list:

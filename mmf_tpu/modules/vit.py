@@ -12,11 +12,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mmf_tpu.modules.transformer import (
+    ACT2FN,
     TransformerConfig,
-    TransformerEncoder,
     Pooler,
+    _dense,
 )
-from mmf_tpu.ops.attention import make_attention_bias
+from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
 
 
 class ViTPatchEmbeddings(nn.Module):
@@ -55,6 +56,64 @@ class ViTPatchEmbeddings(nn.Module):
         return x + pos[:, : x.shape[1]].astype(x.dtype)
 
 
+class ViTLayer(nn.Module):
+    """Pre-LN transformer block: LN -> MHA -> +res; LN -> MLP -> +res
+    (HF ViTLayer; ViT is pre-norm, unlike BERT's post-norm)."""
+
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic=True):
+        cfg = self.config
+        h = cfg.num_attention_heads
+        d = cfg.hidden_size // h
+
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="layernorm_before",
+        )(hidden)
+        q = _dense(cfg, cfg.hidden_size, "attention_query")(x)
+        k = _dense(cfg, cfg.hidden_size, "attention_key")(x)
+        v = _dense(cfg, cfg.hidden_size, "attention_value")(x)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], h, d).transpose(
+                0, 2, 1, 3
+            )
+
+        ctx = dot_product_attention(split(q), split(k), split(v), bias=bias)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(
+            x.shape[0], x.shape[1], cfg.hidden_size
+        )
+        att = _dense(cfg, cfg.hidden_size, "attention_output_dense")(ctx)
+        att = nn.Dropout(cfg.hidden_dropout_prob)(att, deterministic)
+        hidden = hidden + att
+
+        y = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
+            param_dtype=jnp.float32, name="layernorm_after",
+        )(hidden)
+        y = _dense(cfg, cfg.intermediate_size, "intermediate_dense")(y)
+        y = ACT2FN[cfg.hidden_act](y)
+        y = _dense(cfg, cfg.hidden_size, "output_dense")(y)
+        y = nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic)
+        return hidden + y
+
+
+class ViTEncoder(nn.Module):
+    config: TransformerConfig
+    num_layers: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, hidden, bias=None, deterministic=True):
+        n = self.num_layers or self.config.num_hidden_layers
+        for i in range(n):
+            hidden = ViTLayer(self.config, name=f"layer_{i}")(
+                hidden, bias, deterministic
+            )
+        return hidden
+
+
 class ViTModel(nn.Module):
     hidden_size: int = 768
     num_hidden_layers: int = 12
@@ -91,7 +150,7 @@ class ViTModel(nn.Module):
         bias = None
         if attention_mask is not None:
             bias = make_attention_bias(attention_mask, cfg.dtype)
-        seq = TransformerEncoder(cfg, name="encoder")(
+        seq = ViTEncoder(cfg, name="encoder")(
             x, bias=bias, deterministic=deterministic
         )
         seq = nn.LayerNorm(

@@ -185,3 +185,32 @@ HF_BERT_KEY_MAP = {
         r"encoder.layer_\1.ffn.output_layer_norm",
     r"pooler\.dense": "pooler.dense",
 }
+
+
+# HF ViT -> our pre-LN ViTModel (modules/vit.py)
+HF_VIT_KEY_MAP = {
+    r"^vit\.": "",
+    r"embeddings\.patch_embeddings\.projection": "embeddings.projection",
+    r"encoder\.layer\.(\d+)\.layernorm_before": r"encoder.layer_\1.layernorm_before",
+    r"encoder\.layer\.(\d+)\.layernorm_after": r"encoder.layer_\1.layernorm_after",
+    r"encoder\.layer\.(\d+)\.attention\.attention\.query":
+        r"encoder.layer_\1.attention_query",
+    r"encoder\.layer\.(\d+)\.attention\.attention\.key":
+        r"encoder.layer_\1.attention_key",
+    r"encoder\.layer\.(\d+)\.attention\.attention\.value":
+        r"encoder.layer_\1.attention_value",
+    # older HF versions nest self-attention one level less
+    r"encoder\.layer\.(\d+)\.attention\.self\.query":
+        r"encoder.layer_\1.attention_query",
+    r"encoder\.layer\.(\d+)\.attention\.self\.key":
+        r"encoder.layer_\1.attention_key",
+    r"encoder\.layer\.(\d+)\.attention\.self\.value":
+        r"encoder.layer_\1.attention_value",
+    r"encoder\.layer\.(\d+)\.attention\.output\.dense":
+        r"encoder.layer_\1.attention_output_dense",
+    r"encoder\.layer\.(\d+)\.intermediate\.dense":
+        r"encoder.layer_\1.intermediate_dense",
+    r"encoder\.layer\.(\d+)\.output\.dense": r"encoder.layer_\1.output_dense",
+    r"^layernorm\.": "layernorm.",
+    r"^pooler\.dense": "pooler.dense",
+}

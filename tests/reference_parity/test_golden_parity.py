@@ -31,11 +31,13 @@ def ref():
 
     shims.install()
     import mmf.models.m4c as ref_m4c
+    import mmf.models.mmbt as ref_mmbt
     import mmf.models.vilbert as ref_vilbert
     import mmf.models.visual_bert as ref_visual_bert
 
     yield {
         "m4c": ref_m4c,
+        "mmbt": ref_mmbt,
         "vilbert": ref_vilbert,
         "visual_bert": ref_visual_bert,
     }
@@ -431,3 +433,159 @@ def test_vilbert_full_trunk_parity(ref):
                                atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_pooled_v), t_pooled_v.numpy(),
                                atol=ATOL)
+
+
+MMBT_KEY_MAP = {
+    r"^transformer\.embeddings\.word_embeddings": "word_embeddings",
+    r"^transformer\.embeddings\.position_embeddings": "position_embeddings",
+    r"^transformer\.embeddings\.token_type_embeddings":
+        "token_type_embeddings",
+    r"^transformer\.embeddings\.LayerNorm": "embeddings_layer_norm",
+    r"^transformer\.encoder\.layer\.(\d+)\.attention\.self\.query":
+        r"encoder.layer_\1.attention.query",
+    r"^transformer\.encoder\.layer\.(\d+)\.attention\.self\.key":
+        r"encoder.layer_\1.attention.key",
+    r"^transformer\.encoder\.layer\.(\d+)\.attention\.self\.value":
+        r"encoder.layer_\1.attention.value",
+    r"^transformer\.encoder\.layer\.(\d+)\.attention\.output\.dense":
+        r"encoder.layer_\1.attention.output_dense",
+    r"^transformer\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"encoder.layer_\1.attention.output_layer_norm",
+    r"^transformer\.encoder\.layer\.(\d+)\.intermediate\.dense":
+        r"encoder.layer_\1.ffn.intermediate_dense",
+    r"^transformer\.encoder\.layer\.(\d+)\.output\.dense":
+        r"encoder.layer_\1.ffn.output_dense",
+    r"^transformer\.encoder\.layer\.(\d+)\.output\.LayerNorm":
+        r"encoder.layer_\1.ffn.output_layer_norm",
+    r"^transformer\.pooler\.dense": "pooler.dense",
+    r"^modal_encoder\.proj_embeddings": "proj_embeddings",
+    # modal_encoder re-exposes the shared embedding tables; map the
+    # duplicates onto the same flax leaves (values are identical)
+    r"^modal_encoder\.word_embeddings": "word_embeddings",
+    r"^modal_encoder\.position_embeddings": "position_embeddings",
+    r"^modal_encoder\.token_type_embeddings": "token_type_embeddings",
+    r"^modal_encoder\.LayerNorm": "embeddings_layer_norm",
+}
+
+
+def test_mmbt_trunk_parity(ref):
+    """Reference MMBTModel over a real HF BertModel with an identity modal
+    encoder (direct features) vs our MMBTTrunk with converted weights."""
+    import jax
+    import torch
+    from transformers import BertConfig, BertModel
+
+    from mmf_tpu.models.mmbt import MMBTTrunk
+    from mmf_tpu.modules.transformer import TransformerConfig
+
+    torch.manual_seed(5)
+    H = 24
+    bert_config = BertConfig(
+        vocab_size=90, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    bert_config.modal_hidden_size = 10
+    transformer = BertModel(bert_config)
+    tmodel = ref["mmbt"].MMBTModel(
+        bert_config, transformer, torch.nn.Identity()
+    ).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=90, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    jmodel = MMBTTrunk(cfg, modal_hidden_size=10)
+
+    B, M, S = 2, 3, 6
+    rng = np.random.RandomState(5)
+    input_modal = rng.randn(B, M, 10).astype(np.float32)
+    input_ids = rng.randint(0, 90, (B, S))
+    start_tok = np.full((B,), 3, np.int64)
+    end_tok = np.full((B,), 4, np.int64)
+    attention_mask = np.ones((B, S), np.float32)
+    attention_mask[1, -1] = 0
+    # text span is segment 1 in MMBT; modal span segment 0
+    token_type_ids = np.ones((B, S), np.int64)
+    modal_token_type = np.zeros((B, 1), np.int64)
+
+    with torch.no_grad():
+        t_seq, t_pooled = tmodel(
+            torch.from_numpy(input_modal),
+            torch.from_numpy(input_ids),
+            modal_start_tokens=torch.from_numpy(start_tok),
+            modal_end_tokens=torch.from_numpy(end_tok),
+            attention_mask=torch.from_numpy(attention_mask),
+            token_type_ids=torch.from_numpy(token_type_ids),
+        )[:2]
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), input_modal, input_ids, attention_mask,
+        token_type_ids, modal_token_type, start_tok, end_tok,
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    converted, stats = convert_torch_state_dict(
+        sd, params["params"], key_map=MMBT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0, stats
+
+    j_seq, j_pooled, m_len = jmodel.apply(
+        {"params": converted}, input_modal, input_ids, attention_mask,
+        token_type_ids, modal_token_type, start_tok, end_tok,
+    )
+    assert m_len == M + 2  # start + features + end
+    np.testing.assert_allclose(np.asarray(j_seq), t_seq.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_pooled), t_pooled.numpy(),
+                               atol=ATOL)
+
+
+def test_vit_pre_ln_parity(ref):
+    """Our pre-LN ViT (used by ViLT and the vit encoder) vs a
+    locally-constructed HF ViTModel — the reference's ViT wrapper is a thin
+    layer over exactly this HF module (mmf/modules/vit.py)."""
+    import jax
+    import torch
+    from transformers import ViTConfig, ViTModel as HFViTModel
+
+    from mmf_tpu.modules.vit import ViTModel
+    from mmf_tpu.utils.checkpoint_updater import HF_VIT_KEY_MAP
+
+    torch.manual_seed(6)
+    H = 24
+    hf_config = ViTConfig(
+        hidden_size=H, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, image_size=32, patch_size=8, num_channels=3,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-12,
+    )
+    tmodel = HFViTModel(hf_config, add_pooling_layer=True).eval()
+
+    jmodel = ViTModel(
+        hidden_size=H, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=48, image_size=32, patch_size=8,
+        layer_norm_eps=1e-12, hidden_dropout_prob=0.0,
+    )
+
+    B = 2
+    rng = np.random.RandomState(6)
+    pixel_values = rng.randn(B, 3, 32, 32).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(pixel_values))
+    t_seq = t_out.last_hidden_state.numpy()
+    t_pooled = t_out.pooler_output.numpy()
+
+    params = jmodel.init(jax.random.PRNGKey(0), pixel_values)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    converted, stats = convert_torch_state_dict(
+        sd, params["params"], key_map=HF_VIT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0, stats
+    assert stats["missed"] == 0, stats
+
+    j_seq, j_pooled = jmodel.apply({"params": converted}, pixel_values)
+    np.testing.assert_allclose(np.asarray(j_seq), t_seq, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(j_pooled), t_pooled, atol=ATOL)
