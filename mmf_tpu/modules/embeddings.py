@@ -46,10 +46,12 @@ class VocabEmbedding(nn.Module):
 
 
 def _rnn(cell_type: str, hidden_size: int, bidirectional: bool, name: str):
+    # nn.RNN shares scope with its parent, so the CELL carries the name —
+    # this keeps param paths stable (f"{name}_fwd") for weight conversion
     cell_cls = {"LSTM": nn.OptimizedLSTMCell, "GRU": nn.GRUCell}[cell_type]
-    rnn = nn.RNN(cell_cls(hidden_size), name=f"{name}_fwd")
+    rnn = nn.RNN(cell_cls(hidden_size, name=f"{name}_fwd"))
     if bidirectional:
-        bwd = nn.RNN(cell_cls(hidden_size), name=f"{name}_bwd", reverse=True,
+        bwd = nn.RNN(cell_cls(hidden_size, name=f"{name}_bwd"), reverse=True,
                      keep_order=True)
         return rnn, bwd
     return rnn, None

@@ -214,3 +214,33 @@ HF_VIT_KEY_MAP = {
     r"^layernorm\.": "layernorm.",
     r"^pooler\.dense": "pooler.dense",
 }
+
+
+def convert_torch_lstm_weights(
+    weight_ih: np.ndarray,
+    weight_hh: np.ndarray,
+    bias_ih: Optional[np.ndarray] = None,
+    bias_hh: Optional[np.ndarray] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Torch LSTM layer weights -> flax (Optimized)LSTMCell params.
+
+    Torch packs gates as [i, f, g, o] rows of [4H, E]/[4H, H] and adds
+    bias_ih + bias_hh; flax keeps one Dense per gate — input Denses
+    (ii/if/ig/io) without bias, hidden Denses (hi/hf/hg/ho) carrying the
+    summed bias."""
+    H = weight_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    bias = None
+    if bias_ih is not None or bias_hh is not None:
+        bias = (bias_ih if bias_ih is not None else 0) + (
+            bias_hh if bias_hh is not None else 0
+        )
+    for idx, gate in enumerate(gates):
+        rows = slice(idx * H, (idx + 1) * H)
+        out[f"i{gate}"] = {"kernel": np.ascontiguousarray(weight_ih[rows].T)}
+        hcell = {"kernel": np.ascontiguousarray(weight_hh[rows].T)}
+        if bias is not None:
+            hcell["bias"] = np.ascontiguousarray(bias[rows])
+        out[f"h{gate}"] = hcell
+    return out
