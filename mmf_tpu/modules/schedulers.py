@@ -31,7 +31,6 @@ def pythia_scheduler(config, scheduler_params=None):
         step = jnp.asarray(step)
         alpha = step / max(warmup_iterations, 1)
         warmup_mult = warmup_factor * (1.0 - alpha) + alpha
-        decay_power = sum(1 for s in lr_steps for _ in [0]) if False else None
         idx = sum((step >= s).astype(jnp.int32) for s in lr_steps) if lr_steps else 0
         decay_mult = lr_ratio ** idx
         return jnp.where(
