@@ -31,6 +31,46 @@ from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
 from mmf_tpu.utils.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
 
 
+def sine_position_embedding(hh: int, ww: int, hidden: int,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """DETR's 2D sine position encoding over an hh x ww grid, normalized
+    (reference unit/backbone.py:91-133 with an all-valid mask). Returns
+    [hh*ww, hidden] with the y-feature half first."""
+    num_pos_feats = hidden // 2
+    scale = 2 * jnp.pi
+    eps = 1e-6
+    y_embed = jnp.arange(1, hh + 1, dtype=jnp.float32)[:, None]
+    x_embed = jnp.arange(1, ww + 1, dtype=jnp.float32)[None, :]
+    y_embed = jnp.broadcast_to(y_embed, (hh, ww)) / (hh + eps) * scale
+    x_embed = jnp.broadcast_to(x_embed, (hh, ww)) / (ww + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / num_pos_feats)
+
+    pos_x = x_embed[:, :, None] / dim_t
+    pos_y = y_embed[:, :, None] / dim_t
+    pos_x = jnp.stack(
+        [jnp.sin(pos_x[:, :, 0::2]), jnp.cos(pos_x[:, :, 1::2])], axis=3
+    ).reshape(hh, ww, -1)
+    pos_y = jnp.stack(
+        [jnp.sin(pos_y[:, :, 0::2]), jnp.cos(pos_y[:, :, 1::2])], axis=3
+    ).reshape(hh, ww, -1)
+    pos = jnp.concatenate([pos_y, pos_x], axis=2)
+    return pos.reshape(hh * ww, hidden)
+
+
+class BboxMLP(nn.Module):
+    """DETR's 3-layer box head (reference unit/unit_base_model.py:82-96)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, name="layer0")(x))
+        x = nn.relu(nn.Dense(self.hidden, name="layer1")(x))
+        return nn.Dense(4, name="layer2")(x)
+
+
 def _split(x, h):
     b, s, d = x.shape
     return x.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
@@ -120,10 +160,8 @@ class UniT(BaseModel):
             tokens = nn.Dense(hidden, name="input_proj")(
                 feats.reshape(b, hh * ww, ch)
             )
-            pos = self.param(
-                "pos_embed", nn.initializers.normal(0.02),
-                (1, tokens.shape[1], hidden),
-            )
+            # DETR sine position encoding over the feature grid
+            pos = sine_position_embedding(hh, ww, hidden)[None]
             memory_parts.append(tokens + pos)
         elif "image_feature_0" in sample_list:
             tokens = nn.Dense(hidden, name="input_proj")(
@@ -152,10 +190,12 @@ class UniT(BaseModel):
             (num_queries, hidden),
         )
         x = jnp.broadcast_to(queries[None], (B, num_queries, hidden))
+        intermediates = []
         for i in range(c.get("num_decoder_layers", 6)):
             x = DETRDecoderLayer(cfg, name=f"decoder_{query_key}_{i}")(
                 x, memory, None, deterministic
             )
+            intermediates.append(x)
 
         ds = dataset
         dt = sample_list.get("dataset_type", "train")
@@ -163,18 +203,28 @@ class UniT(BaseModel):
 
         if task_type == "detection":
             num_classes = c.get("num_classes", 91)
-            logits = nn.Dense(num_classes + 1, name="class_embed")(x)
-            boxes = nn.sigmoid(
-                nn.Dense(4, name="bbox_embed2")(
-                    nn.relu(nn.Dense(hidden, name="bbox_embed1")(x))
-                )
-            )
+            class_embed = nn.Dense(num_classes + 1, name="class_embed")
+            bbox_embed = BboxMLP(hidden, name="bbox_embed")
+            logits = class_embed(x)
+            boxes = nn.sigmoid(bbox_embed(x))
             output["scores"] = logits
             output["pred_boxes"] = boxes
             if train and "labels" in sample_list and "boxes" in sample_list:
                 losses = self._detection_losses(
                     logits, boxes, sample_list, num_classes
                 )
+                # deep supervision: the same heads + Hungarian losses on
+                # every intermediate decoder layer (reference
+                # unit.py:247-250, unit_base_model.py:357-368)
+                if c.get("aux_loss", True):
+                    for li, inter in enumerate(intermediates[:-1]):
+                        aux = self._detection_losses(
+                            class_embed(inter), nn.sigmoid(bbox_embed(inter)),
+                            sample_list, num_classes,
+                        )
+                        losses.update(
+                            {f"{k}_{li}": v for k, v in aux.items()}
+                        )
                 output["losses"] = {
                     f"{dt}/{ds}/{k}": v for k, v in losses.items()
                 }

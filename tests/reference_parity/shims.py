@@ -98,6 +98,7 @@ def install():
         "torchtext", "torchtext.vocab",
         "torchvision", "torchvision.transforms", "torchvision.models",
         "torchvision.datasets", "torchvision.datasets.folder",
+        "torchvision.models._utils", "torchvision.ops.boxes",
         "torchvision.ops", "torchvision.transforms.functional",
         "pytorch_lightning", "pytorch_lightning.callbacks",
         "pytorch_lightning.utilities", "pytorch_lightning.utilities.seed",

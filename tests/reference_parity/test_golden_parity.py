@@ -589,3 +589,28 @@ def test_vit_pre_ln_parity(ref):
     j_seq, j_pooled = jmodel.apply({"params": converted}, pixel_values)
     np.testing.assert_allclose(np.asarray(j_seq), t_seq, atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_pooled), t_pooled, atol=ATOL)
+
+
+def test_detr_sine_position_embedding_parity(ref):
+    """Our closed-form sine grid encoding vs the reference's
+    PositionEmbeddingSine with an all-valid mask (unit/backbone.py:91)."""
+    import torch
+
+    import mmf.models.unit.backbone as ref_backbone
+    from mmf_tpu.models.unit.unit import sine_position_embedding
+
+    hh, ww, hidden = 5, 7, 32
+    tmod = ref_backbone.PositionEmbeddingSine(
+        num_pos_feats=hidden // 2, normalize=True
+    )
+
+    class NT:
+        tensors = torch.zeros(1, 3, hh, ww)
+        mask = torch.zeros(1, hh, ww, dtype=torch.bool)
+
+    with torch.no_grad():
+        t_pos = tmod(NT())  # [1, hidden, hh, ww]
+    t_flat = t_pos[0].permute(1, 2, 0).reshape(hh * ww, hidden).numpy()
+
+    j_pos = np.asarray(sine_position_embedding(hh, ww, hidden))
+    np.testing.assert_allclose(j_pos, t_flat, atol=1e-5)
