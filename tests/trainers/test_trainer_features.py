@@ -166,3 +166,37 @@ def test_multi_dataset_training(tmp_path):
     assert "train/numbers2/mse" in keys, keys
     # one compiled step per dataset
     assert len(trainer._train_steps) == 2
+
+
+def test_dp_sharded_loss_equals_single_device(tmp_path):
+    """The dp=8 sharded first-update loss must equal the same computation
+    on one device with the full batch (SURVEY §4: single-host vs sharded
+    parity)."""
+    import jax.numpy as jnp
+
+    trainer = make_trainer(save_dir=str(tmp_path / "dp"),
+                           **{"training.max_updates": 1,
+                              "training.log_interval": 1})
+    assert dict(trainer.mesh.shape) == {"data": 8, "model": 1}
+
+    # capture initial params and the exact first batch before training
+    trainer.train_loader.seed_sampler(1)
+    batch = next(iter(trainer.train_loader))
+    trainer._ensure_state(batch)
+    initial = jax.tree_util.tree_map(
+        np.asarray, trainer.train_state.variables
+    )
+
+    # independent single-device reference: mse = mean((x*w+b - y)^2)
+    x = np.asarray(batch["data"])
+    y = np.asarray(batch["targets"])
+    out = trainer.model.apply(initial, {"data": jnp.asarray(x)}, False)
+    expected = float(np.mean((np.asarray(out["scores"]) - y) ** 2))
+
+    trainer.train()
+    got = None
+    for key, meter_val in trainer.meter.meters.items():
+        if key.endswith("total_loss"):
+            got = float(meter_val.global_avg)
+    assert got is not None
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
