@@ -126,20 +126,33 @@ class PaddedFasterRCNNFeatureReader:
         return tmp, image_info
 
 
+def _lmdb_module():
+    """The lmdb package when installed, else the native C++ core
+    (utils/native/lmdb_shim) that parses/writes data.mdb directly."""
+    try:
+        import lmdb
+
+        return lmdb
+    except ImportError:
+        from mmf_tpu.utils.native import lmdb_shim
+
+        if not lmdb_shim.available():
+            raise ImportError(
+                "LMDB support needs either the 'lmdb' package or a C++ "
+                "compiler for the native reader (utils/native/lmdb_core.cc)"
+            )
+        return lmdb_shim
+
+
 class LMDBFeatureReader(PaddedFasterRCNNFeatureReader):
     """LMDB-backed reader with lazy env init
-    (reference feature_readers.py:218-265). Requires the lmdb package."""
+    (reference feature_readers.py:218-265). Uses the lmdb package when
+    installed, falling back to the in-repo native reader."""
 
     def __init__(self, max_loc, base_path):
         super().__init__(max_loc)
         self.db_path = base_path
-        try:
-            import lmdb  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "LMDBFeatureReader requires the 'lmdb' package, which is "
-                "not installed in this environment"
-            ) from e
+        _lmdb_module()  # raise early if neither backend is available
         if not os.path.exists(self.db_path):
             raise RuntimeError(
                 f"{self.db_path} path specified for LMDB features doesn't exist."
@@ -147,7 +160,7 @@ class LMDBFeatureReader(PaddedFasterRCNNFeatureReader):
         self.env = None
 
     def _init_db(self):
-        import lmdb
+        lmdb = _lmdb_module()
 
         self.env = lmdb.open(
             self.db_path, subdir=os.path.isdir(self.db_path), readonly=True,

@@ -1,6 +1,6 @@
 """Convert a folder of .npy features to/from LMDB
 (parity with mmf/tools/scripts/features/lmdb_conversion.py).
-Requires the lmdb package."""
+Uses the lmdb package when installed, else the in-repo native core."""
 
 from __future__ import annotations
 
@@ -8,14 +8,28 @@ import argparse
 import glob
 import os
 import pickle
+import sys
 
 import numpy as np
 
+sys.path.insert(
+    0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", ".."))
+)
+
+
+def _lmdb():
+    try:
+        import lmdb
+
+        return lmdb
+    except ImportError:
+        from mmf_tpu.utils.native import lmdb_shim
+
+        return lmdb_shim
+
 
 def extract_features(lmdb_path, output_dir):
-    import lmdb
-
-    env = lmdb.open(lmdb_path, readonly=True, lock=False)
+    env = _lmdb().open(lmdb_path, readonly=True, lock=False)
     os.makedirs(output_dir, exist_ok=True)
     with env.begin(write=False) as txn:
         keys = pickle.loads(txn.get(b"keys"))
@@ -25,11 +39,13 @@ def extract_features(lmdb_path, output_dir):
 
 
 def convert_to_lmdb(features_dir, lmdb_path):
-    import lmdb
-
-    files = glob.glob(os.path.join(features_dir, "**", "*.npy"),
-                      recursive=True)
-    env = lmdb.open(lmdb_path, map_size=1099511627776)
+    files = [
+        f for f in glob.glob(os.path.join(features_dir, "**", "*.npy"),
+                             recursive=True)
+        if not f.endswith("_info.npy")  # folded into their feature entry
+    ]
+    env = _lmdb().open(lmdb_path, map_size=1099511627776,
+                       readonly=False, create=True)
     keys = []
     with env.begin(write=True) as txn:
         for f in files:
