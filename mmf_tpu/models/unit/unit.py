@@ -208,6 +208,7 @@ class UniT(BaseModel):
             logits = class_embed(x)
             boxes = nn.sigmoid(bbox_embed(x))
             output["scores"] = logits
+            output["pred_logits"] = logits  # detection-report key
             output["pred_boxes"] = boxes
             if train and "labels" in sample_list and "boxes" in sample_list:
                 losses = self._detection_losses(

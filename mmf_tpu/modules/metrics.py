@@ -790,21 +790,20 @@ class DetectionMeanAP(BaseMetric):
 
     def calculate(self, sample_list, model_output, execute_on_master_only=True,
                   *args, **kwargs):
-        try:
-            from pycocotools.coco import COCO  # noqa: F401
-            from pycocotools.cocoeval import COCOeval
-        except ImportError as e:
-            raise ImportError(
-                "detection_mean_ap requires pycocotools, which is not "
-                "installed in this environment"
-            ) from e
-
         predictions = model_output["__prediction_report__"]
         dataset_name = _meta(sample_list, "dataset_name")
         dataset_type = _meta(sample_list, "dataset_type")
-        coco = COCO(
-            self.dataset_json_files[dataset_name][dataset_type]
-        )
+        gt_json = self.dataset_json_files[dataset_name][dataset_type]
+        try:
+            from pycocotools.coco import COCO  # noqa: F401
+            from pycocotools.cocoeval import COCOeval
+        except ImportError:
+            # in-repo COCOeval-protocol implementation
+            from mmf_tpu.utils.coco_eval import CocoBboxEvaluator
+
+            return CocoBboxEvaluator(gt_json).evaluate(predictions)
+
+        coco = COCO(gt_json)
         coco_dt = coco.loadRes(predictions)
         coco_eval = COCOeval(coco, coco_dt, "bbox")
         coco_eval.evaluate()

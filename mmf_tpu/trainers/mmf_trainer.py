@@ -423,6 +423,13 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         loader = getattr(self, f"{dataset_type}_loader")
         meter = Meter()
         combined_report = None
+        # set-level metrics over formatted predictions (reference
+        # evaluation_loop.py:75-91: prediction_report accumulation)
+        need_predictions = "__prediction_report__" in (
+            self.metrics_params or []
+        )
+        predictions = []
+        pred_dataset = None
 
         for batch in loader:
             meta = self._batch_meta(batch)
@@ -441,6 +448,11 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             true_bs = getattr(batch, "_true_batch_size", None)
             if true_bs is not None:
                 report.trim_to_batch_size(true_bs)
+            if need_predictions:
+                ds = getattr(loader, "current_dataset", None)
+                if ds is not None and hasattr(ds, "format_for_prediction"):
+                    pred_dataset = ds
+                    predictions.extend(ds.format_for_prediction(report))
             meter.update_from_report(report)
 
             moved_report = report
@@ -457,6 +469,12 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         if combined_report is not None and len(self.metrics.metrics) > 0:
             combined_report["dataset_name"] = meta.get("dataset_name", "unknown")
             combined_report["dataset_type"] = dataset_type
+            if need_predictions:
+                if pred_dataset is not None and hasattr(
+                    pred_dataset, "on_prediction_end"
+                ):
+                    predictions = pred_dataset.on_prediction_end(predictions)
+                combined_report["__prediction_report__"] = predictions
             combined_report.metrics = self.metrics(combined_report, combined_report)
             meter.update_from_report(combined_report, should_update_loss=False)
 
