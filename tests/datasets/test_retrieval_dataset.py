@@ -155,3 +155,84 @@ def test_alignment_model_flattens_eval_fanout(flickr_data):
     out = model.apply(variables, batch, False)
     assert out["scores"].shape == (B, 16)          # images
     assert out["targets"].shape == (B * F, 16)     # flattened texts
+
+
+# --------------------------- visual dialog ---------------------------------
+@pytest.fixture(scope="module")
+def visdial_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("visdial")
+    feat_dir = root / "features"
+    feat_dir.mkdir()
+    rng = np.random.RandomState(4)
+    questions = [f"question number {i}" for i in range(6)]
+    answers = [f"answer number {i}" for i in range(8)]
+    dialogs = []
+    for d in range(2):
+        np.save(feat_dir / f"{d}.npy", rng.randn(5, 8).astype(np.float32))
+        rounds = [
+            {"question": (d + r) % 6, "answer": (d * 3 + r) % 8,
+             "answer_options": list(range(8))[:4], "gt_index": r % 4}
+            for r in range(10)
+        ]
+        dialogs.append({"image_id": d, "caption": f"a photo {d}",
+                        "dialog": rounds})
+    (root / "visdial.json").write_text(json.dumps({
+        "split": "train",
+        "data": {"questions": questions, "answers": answers,
+                 "dialogs": dialogs},
+    }))
+    return root
+
+
+def _visdial_config(root, **over):
+    cfg = {
+        "data_dir": str(root),
+        "use_images": False,
+        "use_features": False,
+        "annotations": {"train": ["visdial.json"]},
+        "return_history": True,
+        "discriminative": {"enabled": False, "num_options": 4},
+        "processors": {
+            "text_processor": {
+                "type": "bert_tokenizer",
+                "params": {
+                    "max_seq_length": 24,
+                    "tokenizer_config": {"type": "bert-base-uncased",
+                                         "vocab_file": VOCAB},
+                },
+            },
+        },
+    }
+    cfg.update(over)
+    return omega.create(cfg)
+
+
+def test_visual_dialog_rounds_and_history(visdial_data):
+    from mmf_tpu.datasets.builders.visual_dialog.builder import (
+        VisualDialogDataset,
+    )
+
+    ds = VisualDialogDataset(_visdial_config(visdial_data), "train")
+    ds.init_processors()
+    assert len(ds) == 20  # 2 dialogs x 10 rounds
+    s0 = ds[0]
+    assert s0["input_ids"].shape == (24,)
+    assert int(s0["round_id"]) == 0
+    s5 = ds[15]
+    assert int(s5["dialog_id"]) == 1 and int(s5["round_id"]) == 5
+
+
+def test_visual_dialog_discriminative_options(visdial_data):
+    from mmf_tpu.datasets.builders.visual_dialog.builder import (
+        VisualDialogDataset,
+    )
+
+    ds = VisualDialogDataset(
+        _visdial_config(visdial_data,
+                        discriminative={"enabled": True, "num_options": 4}),
+        "train",
+    )
+    ds.init_processors()
+    s = ds[3]
+    assert s["option_input_ids"].shape == (4, 24)
+    assert 0 <= int(s["targets"]) < 4
