@@ -614,3 +614,111 @@ def test_detr_sine_position_embedding_parity(ref):
 
     j_pos = np.asarray(sine_position_embedding(hh, ww, hidden))
     np.testing.assert_allclose(j_pos, t_flat, atol=1e-5)
+
+
+def test_visual_bert_pretraining_mlm_parity(ref):
+    """Reference VisualBERTForPretraining MLM logits + masked LM loss vs
+    our pretraining path (trunk + cls head) with converted weights —
+    validates zoo pretraining-checkpoint conversion end to end."""
+    import jax
+    import torch
+
+    from mmf_tpu.config import omega
+    from mmf_tpu.models.visual_bert import VisualBertBase
+    from mmf_tpu.modules.transformer import MLMHead, TransformerConfig
+
+    torch.manual_seed(13)
+    cfg_dict = dict(
+        vocab_size=60, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        visual_embedding_dim=8, embedding_strategy="plain",
+        bypass_transformer=False, output_attentions=False,
+        output_hidden_states=False, random_initialize=True,
+    )
+    tmodel = ref["visual_bert"].VisualBERTForPretraining(
+        omega.create(cfg_dict)
+    ).eval()
+
+    cfg = TransformerConfig(
+        vocab_size=60, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=48,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+    import flax.linen as nn
+
+    class PretrainSlice(nn.Module):
+        @nn.compact
+        def __call__(self, ids, mask, tt, vis, vt):
+            seq, _ = VisualBertBase(cfg, visual_embedding_dim=8,
+                                    name="bert")(ids, mask, tt, vis, vt)
+            return MLMHead(cfg, name="cls")(seq)
+
+    jmodel = PretrainSlice()
+
+    B, S, R = 2, 6, 3
+    rng = np.random.RandomState(13)
+    input_ids = rng.randint(0, 60, (B, S))
+    token_type_ids = np.zeros((B, S), np.int64)
+    visual = rng.randn(B, R, 8).astype(np.float32)
+    visual_type = np.zeros((B, R), np.int64)
+    mask = np.ones((B, S + R), np.float32)
+    labels = np.full((B, S + R), -1, np.int64)
+    labels[0, 2] = 5
+    labels[1, 4] = 7
+
+    with torch.no_grad():
+        t_out = tmodel(
+            torch.from_numpy(input_ids),
+            torch.from_numpy(mask[:, :S]),
+            torch.from_numpy(mask),
+            torch.from_numpy(token_type_ids),
+            torch.from_numpy(visual),
+            torch.from_numpy(visual_type),
+            masked_lm_labels=torch.from_numpy(labels),
+        )
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), input_ids, mask, token_type_ids, visual,
+        visual_type,
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    # seq_relationship head is unused in MMF's pretraining loss; decoder
+    # bias is duplicated as cls.predictions.bias
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("cls.seq_relationship")
+          and k != "cls.predictions.bias"}
+    # keep the bert. prefix (our tree nests the trunk under "bert")
+    key_map = {k: v for k, v in HF_BERT_KEY_MAP.items() if k != r"^bert\."}
+    key_map.update({
+        r"^bert\.embeddings\.LayerNorm": "bert.embeddings.layer_norm",
+        r"^cls\.predictions\.transform\.dense": "cls.transform.dense",
+        r"^cls\.predictions\.transform\.LayerNorm": "cls.transform.layer_norm",
+        r"^cls\.predictions\.decoder": "cls.decoder",
+    })
+    converted, stats = convert_torch_state_dict(
+        sd, params["params"], key_map=key_map
+    )
+    assert stats["shape_mismatch"] == 0, stats
+    assert stats["missed"] == 0, stats
+
+    j_logits = jmodel.apply(
+        {"params": converted}, input_ids, mask, token_type_ids, visual,
+        visual_type,
+    )
+    np.testing.assert_allclose(np.asarray(j_logits), t_out["logits"].numpy(),
+                               atol=ATOL)
+    # the masked-LM loss formula too
+    valid = labels != -1
+    logprobs = np.asarray(
+        jax.nn.log_softmax(np.asarray(j_logits, np.float64), axis=-1)
+    )
+    picked = np.take_along_axis(
+        logprobs, np.where(valid, labels, 0)[..., None], axis=-1
+    )[..., 0]
+    j_loss = -(picked * valid).sum() / valid.sum()
+    np.testing.assert_allclose(j_loss, float(t_out["masked_lm_loss"]),
+                               atol=1e-5)
