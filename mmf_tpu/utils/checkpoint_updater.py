@@ -244,3 +244,88 @@ def convert_torch_lstm_weights(
             hcell["bias"] = np.ascontiguousarray(bias[rows])
         out[f"h{gate}"] = hcell
     return out
+
+
+# ViLBERT zoo checkpoints (trunk under "bert."): two-stream layer names
+# onto our flax tree (models/vilbert.py). Patterns are unanchored so the
+# same map works under wrapper prefixes.
+VILBERT_KEY_MAP = {
+    r"bert\.encoder\.layer\.(\d+)\.attention\.self\.": r"bert.layer_\1.",
+    r"bert\.encoder\.layer\.(\d+)\.attention\.output\.dense":
+        r"bert.layer_\1.attention_output_dense",
+    r"bert\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"bert.layer_\1.attention_ln",
+    r"bert\.encoder\.layer\.(\d+)\.intermediate\.dense":
+        r"bert.layer_\1.intermediate_dense",
+    r"bert\.encoder\.layer\.(\d+)\.output\.dense":
+        r"bert.layer_\1.output_dense",
+    r"bert\.encoder\.layer\.(\d+)\.output\.LayerNorm":
+        r"bert.layer_\1.output_ln",
+    r"bert\.encoder\.v_layer\.(\d+)\.attention\.self\.":
+        r"bert.v_layer_\1.attention_self.",
+    r"bert\.encoder\.v_layer\.(\d+)\.attention\.output\.dense":
+        r"bert.v_layer_\1.attention_output_dense",
+    r"bert\.encoder\.v_layer\.(\d+)\.attention\.output\.LayerNorm":
+        r"bert.v_layer_\1.attention_ln",
+    r"bert\.encoder\.v_layer\.(\d+)\.intermediate\.dense":
+        r"bert.v_layer_\1.intermediate_dense",
+    r"bert\.encoder\.v_layer\.(\d+)\.output\.dense":
+        r"bert.v_layer_\1.output_dense",
+    r"bert\.encoder\.v_layer\.(\d+)\.output\.LayerNorm":
+        r"bert.v_layer_\1.output_ln",
+    r"bert\.encoder\.c_layer\.(\d+)\.biattention\.": r"bert.c_layer_\1.",
+    r"bert\.encoder\.c_layer\.(\d+)\.biOutput\.dense1":
+        r"bert.c_layer_\1.biout_dense1",
+    r"bert\.encoder\.c_layer\.(\d+)\.biOutput\.LayerNorm1":
+        r"bert.c_layer_\1.biout_ln1",
+    r"bert\.encoder\.c_layer\.(\d+)\.biOutput\.dense2":
+        r"bert.c_layer_\1.biout_dense2",
+    r"bert\.encoder\.c_layer\.(\d+)\.biOutput\.LayerNorm2":
+        r"bert.c_layer_\1.biout_ln2",
+    r"bert\.encoder\.c_layer\.(\d+)\.v_intermediate\.dense":
+        r"bert.c_layer_\1.v_intermediate",
+    r"bert\.encoder\.c_layer\.(\d+)\.v_output\.dense":
+        r"bert.c_layer_\1.v_output",
+    r"bert\.encoder\.c_layer\.(\d+)\.v_output\.LayerNorm":
+        r"bert.c_layer_\1.v_output_ln",
+    r"bert\.encoder\.c_layer\.(\d+)\.t_intermediate\.dense":
+        r"bert.c_layer_\1.t_intermediate",
+    r"bert\.encoder\.c_layer\.(\d+)\.t_output\.dense":
+        r"bert.c_layer_\1.t_output",
+    r"bert\.encoder\.c_layer\.(\d+)\.t_output\.LayerNorm":
+        r"bert.c_layer_\1.t_output_ln",
+    r"bert\.v_embeddings\.image_embeddings": "bert.v_image_embeddings",
+    r"bert\.v_embeddings\.image_location_embeddings":
+        "bert.v_location_embeddings",
+    r"bert\.v_embeddings\.LayerNorm": "bert.v_embeddings_ln",
+    r"bert\.embeddings\.LayerNorm": "bert.embeddings.layer_norm",
+    r"bert\.t_pooler\.dense": "bert.t_pooler",
+    r"bert\.v_pooler\.dense": "bert.v_pooler",
+}
+
+
+# MMBT zoo checkpoints (MMBTModel: shared-embedding multimodal BERT)
+MMBT_KEY_MAP = {
+    r"transformer\.embeddings\.word_embeddings": "word_embeddings",
+    r"transformer\.embeddings\.position_embeddings": "position_embeddings",
+    r"transformer\.embeddings\.token_type_embeddings":
+        "token_type_embeddings",
+    r"transformer\.embeddings\.LayerNorm": "embeddings_layer_norm",
+    r"transformer\.encoder": "encoder",
+    r"transformer\.pooler\.dense": "pooler.dense",
+    r"modal_encoder\.proj_embeddings": "proj_embeddings",
+    r"modal_encoder\.word_embeddings": "word_embeddings",
+    r"modal_encoder\.position_embeddings": "position_embeddings",
+    r"modal_encoder\.token_type_embeddings": "token_type_embeddings",
+    r"modal_encoder\.LayerNorm": "embeddings_layer_norm",
+}
+
+
+# per-model maps the convert CLI layers on top of the HF-BERT base map
+MODEL_KEY_MAPS: Dict[str, Dict[str, str]] = {
+    "vilbert": VILBERT_KEY_MAP,
+    "mmbt": MMBT_KEY_MAP,
+    "vilt": HF_VIT_KEY_MAP,
+    # visual_bert / m4c / uniter / lxmert trunks are covered by the
+    # unanchored HF-BERT patterns + fuzzy matching
+}

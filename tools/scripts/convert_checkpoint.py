@@ -41,7 +41,8 @@ def synthetic_batch(batch_size=2, seq_len=16, regions=10, vdim=2048,
         ),
         "image_info_0": {
             "max_features": np.full((batch_size,), regions, np.int32),
-            "bbox": rng.rand(batch_size, regions, 4).astype(np.float32),
+            # transformer_bbox output: [x1,y1,x2,y2,area] normalized
+            "bbox": rng.rand(batch_size, regions, 5).astype(np.float32),
         },
         "image": rng.randn(batch_size, 3, image_size, image_size).astype(
             np.float32
@@ -68,6 +69,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--seq_len", type=int, default=16)
     parser.add_argument("--regions", type=int, default=10)
+    parser.add_argument("--vdim", type=int, default=2048,
+                        help="region-feature dim (v_feature_size)")
     args = parser.parse_args()
 
     if os.path.exists(args.output):
@@ -86,6 +89,7 @@ def main():
     from mmf_tpu.utils.checkpoint import _checkpointer, jax_device_get
     from mmf_tpu.utils.checkpoint_updater import (
         HF_BERT_KEY_MAP,
+        MODEL_KEY_MAPS,
         convert_torch_state_dict,
     )
     from mmf_tpu.utils.env import setup_imports
@@ -98,7 +102,7 @@ def main():
     registry.register("config", config)
     model = build_model(config)
 
-    batch = synthetic_batch(args.batch_size, args.seq_len, args.regions)
+    batch = synthetic_batch(args.batch_size, args.seq_len, args.regions, vdim=args.vdim)
     batch["dataset_name"] = args.dataset
     batch["dataset_type"] = "train"
     try:
@@ -128,6 +132,10 @@ def main():
     # the "bert" level, so only that wrapper prefix is stripped (the bare
     # "^bert." strip in HF_BERT_KEY_MAP is for trunk-only HF dicts)
     key_map = {r"^model\.": ""}
+    # model-family-specific renames run FIRST (two-stream vilbert, mmbt
+    # shared embeddings, vit backbones) so the generic HF-BERT patterns
+    # don't rewrite their keys out from under them
+    key_map.update(MODEL_KEY_MAPS.get(args.model, {}))
     key_map.update(
         {k: v for k, v in HF_BERT_KEY_MAP.items() if k != r"^bert\."}
     )
