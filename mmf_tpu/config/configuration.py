@@ -253,10 +253,35 @@ class Configuration:
         # model=/datasets= usually arrive as dotlist opts (the primary CLI
         # form), so include them when resolving which default configs to pull
         lookup = omega.merge(other_configs, opts_config)
+        # user plugin dir must be imported BEFORE model/dataset config
+        # resolution so plugin-registered classes are found (reference
+        # configuration.py:393-410 precedence: env default -> user config
+        # -> opts)
+        self._import_user_dir(lookup)
         model_config = self._build_model_config(lookup)
         dataset_config = self._build_dataset_config(lookup)
         args_config = omega.merge(model_config, dataset_config, other_configs)
         return args_config
+
+    def _import_user_dir(self, lookup) -> None:
+        """Import the env.user_dir plugin directory (reference
+        configuration.py:393-410): default env var, overridden by the
+        user config yaml, overridden by dotlist opts."""
+        import os
+
+        user_dir = os.environ.get("MMF_USER_DIR", "") or None
+        cfg_user_dir = (
+            self._default_config.get("env", {}).get("user_dir", None)
+        )
+        if cfg_user_dir and "${" not in str(cfg_user_dir):
+            user_dir = cfg_user_dir
+        lookup_user_dir = (lookup.get("env", {}) or {}).get("user_dir", None)
+        if lookup_user_dir:
+            user_dir = lookup_user_dir
+        if user_dir:
+            from mmf_tpu.utils.env import import_user_module
+
+            import_user_module(user_dir)
 
     def _build_opt_list(self, opts: List[str]) -> ConfigNode:
         # Turn dotlist into a nested config for peeking at config/model/datasets

@@ -31,6 +31,7 @@ from mmf_tpu.trainers.callbacks.early_stopping import EarlyStoppingCallback
 from mmf_tpu.trainers.callbacks.logistics import LogisticsCallback
 from mmf_tpu.trainers.callbacks.lr_scheduler import LRSchedulerCallback
 from mmf_tpu.trainers.core.profiling import TrainerProfilingMixin
+from mmf_tpu.trainers.core.torchmetric import StreamingMetrics
 from mmf_tpu.trainers.core.train_state import (
     TrainState,
     create_train_state,
@@ -110,9 +111,20 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         self._schedule_fn = schedule_fn
 
     def load_metrics(self):
-        metrics = self.config.get("evaluation", {}).get("metrics", []) or []
+        evaluation = self.config.get("evaluation", {}) or {}
+        metrics = evaluation.get("metrics", []) or []
         self.metrics = Metrics(metrics)
         self.metrics_params = self.metrics.required_params
+        # streaming "torchmetrics" surface (reference
+        # lightning_core/torchmetric.py:14-148); once provided, the regular
+        # report-level metrics are ignored, same as the reference warns.
+        tm_list = evaluation.get("torchmetrics", []) or []
+        self.torchmetrics = StreamingMetrics(tm_list) if tm_list else None
+        if self.torchmetrics is not None and metrics:
+            logger.warning(
+                "evaluation.torchmetrics provided: regular mmf metrics "
+                "will be ignored."
+            )
 
     def configure_callbacks(self):
         self.lr_scheduler_callback = LRSchedulerCallback(self.config, self)
@@ -423,6 +435,9 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         loader = getattr(self, f"{dataset_type}_loader")
         meter = Meter()
         combined_report = None
+        torchmetrics = getattr(self, "torchmetrics", None)
+        if torchmetrics is not None:
+            torchmetrics.reset()
         # set-level metrics over formatted predictions (reference
         # evaluation_loop.py:75-91: prediction_report accumulation)
         need_predictions = "__prediction_report__" in (
@@ -454,6 +469,8 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                     pred_dataset = ds
                     predictions.extend(ds.format_for_prediction(report))
             meter.update_from_report(report)
+            if torchmetrics is not None:
+                torchmetrics.update(report, report)
 
             moved_report = report
             if combined_report is None:
@@ -466,7 +483,18 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             if single_batch:
                 break
 
-        if combined_report is not None and len(self.metrics.metrics) > 0:
+        if combined_report is not None and torchmetrics is not None:
+            # streaming metrics replace report-level ones; keys follow the
+            # reference's `<type>_<key>` format
+            # (loop_callback_with_torchmetrics.py:112)
+            scalars = torchmetrics.get_scalar_dict()
+            combined_report["dataset_name"] = meta.get("dataset_name", "unknown")
+            combined_report["dataset_type"] = dataset_type
+            combined_report.metrics = {
+                f"{dataset_type}_{k}": np.float32(v) for k, v in scalars.items()
+            }
+            meter.update_from_report(combined_report, should_update_loss=False)
+        elif combined_report is not None and len(self.metrics.metrics) > 0:
             combined_report["dataset_name"] = meta.get("dataset_name", "unknown")
             combined_report["dataset_type"] = dataset_type
             if need_predictions:

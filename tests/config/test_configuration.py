@@ -102,3 +102,25 @@ def test_interpolation_inside_lists_resolves():
     })
     resolved = omega.resolve_all(node)
     assert resolved.params.image_size == [224, 224]
+
+
+def test_user_dir_plugin_imported_during_configuration():
+    """env.user_dir plugins must be importable BEFORE model/dataset config
+    resolution (reference configuration.py:393-410 + env.py:32-97)."""
+    import os
+
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config.configuration import Configuration
+
+    registry.unregister("__mmf_user_dir_imported__")
+    user_dir = os.path.join(os.path.dirname(__file__), "..", "data", "user_dir")
+    Configuration([
+        "model=always_one",
+        "datasets=plugin_numbers",
+        f"env.user_dir={user_dir}",
+    ])
+    try:
+        assert registry.get_model_class("always_one") is not None
+        assert registry.get_builder_class("plugin_numbers") is not None
+    finally:
+        registry.unregister("__mmf_user_dir_imported__")

@@ -200,3 +200,51 @@ def test_dp_sharded_loss_equals_single_device(tmp_path):
             got = float(meter_val.global_avg)
     assert got is not None
     np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_streaming_torchmetrics_eval(tmp_path):
+    """evaluation.torchmetrics drives the streaming-metric surface
+    (reference lightning_core/torchmetric.py:14-148)."""
+    from mmf_tpu.trainers.core.torchmetric import StreamingMetrics
+
+    t = make_trainer(save_dir=str(tmp_path / "tm"), **{
+        "training.max_updates": 1,
+    })
+    t.torchmetrics = StreamingMetrics([
+        {"type": "top_k_accuracy", "key": "top_1", "params": {"k": 1}},
+    ])
+    t.train()
+    report, meter = t.evaluation_loop("val")
+    assert report is not None
+    assert any(k.endswith("val_top_1") for k in meter.meters), meter.meters
+    # streaming value is a bounded fraction
+    v = t.torchmetrics.get_scalar_dict()["top_1"]
+    assert 0.0 <= v <= 1.0
+
+
+def test_streaming_topk_accuracy_values():
+    import numpy as np
+
+    from mmf_tpu.trainers.core.torchmetric import StreamingMetrics
+
+    tm = StreamingMetrics(["top_k_accuracy"])
+    scores = np.array([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]], np.float32)
+    targets = np.array([1, 1, 1])
+    tm.update({"targets": targets, "dataset_name": "x"}, {"scores": scores})
+    assert abs(tm.get_scalar_dict()["top_k_accuracy"] - 2 / 3) < 1e-6
+    tm.reset()
+    tm.update(
+        {"targets": np.eye(2, dtype=np.float32)[targets], "dataset_name": "x"},
+        {"scores": scores},
+    )
+    assert abs(tm.get_scalar_dict()["top_k_accuracy"] - 2 / 3) < 1e-6
+    # k=2 over 2 classes is always a hit
+    tm2 = StreamingMetrics([{"type": "topk_accuracy", "params": {"k": 2}}])
+    tm2.update({"targets": targets, "dataset_name": "x"}, {"scores": scores})
+    assert tm2.get_scalar_dict()["topk_accuracy"] == 1.0
+    # dataset applicability filter
+    tm3 = StreamingMetrics([
+        {"type": "top_k_accuracy", "datasets": ["other"]},
+    ])
+    tm3.update({"targets": targets, "dataset_name": "x"}, {"scores": scores})
+    assert tm3.get_scalar_dict()["top_k_accuracy"] == 0.0
