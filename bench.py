@@ -20,13 +20,16 @@ import numpy as np
 
 
 def _throughput(
-    dtype: str, batch_size: int = 64, iters: int = 20, repeats: int = 3
+    dtype: str, batch_size: int = 64, iters: int = 100, repeats: int = 3
 ) -> float:
     """Time ``iters`` chained forwards inside ONE jitted call returning a
     scalar — measures device compute, not host<->device tunnel latency
     (block_until_ready through this host's remote-execution tunnel does not
     reflect device completion; a scalar fetch does). Best-of-``repeats``
-    to damp tunnel/host contention noise (~20% run-to-run observed)."""
+    to damp tunnel/host contention noise (~20% run-to-run observed).
+    ``iters=100`` amortizes the measured ~25 ms fixed per-call tunnel
+    overhead to <1% (two-point scan-length probes in
+    tools/benchmarks/prof_gemm.py isolate it)."""
     import jax
     import jax.numpy as jnp
 

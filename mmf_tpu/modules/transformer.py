@@ -23,10 +23,33 @@ import jax.numpy as jnp
 
 from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
 
+def _gelu(x):
+    """GELU with a precision-matched implementation.
+
+    torch/HF BERT compute the exact erf form, and the f32 path keeps it
+    for <1e-4 converted-checkpoint logit parity. Under bf16 compute the
+    exact erf is the single most expensive op in the encoder — it runs on
+    the VPU and cannot hide behind the MXU (measured on v5e at VisualBERT
+    eval shapes: 1182us vs 748us per FFN block, ~22% of the whole forward)
+    — while the tanh approximation's error is below the noise bf16 itself
+    introduces (max logit delta 0.047 vs 0.043 from bf16 alone, identical
+    argmax; tools/benchmarks/prof_ffn.py). So: erf when x is f32, tanh
+    when x is bf16. MMF_TPU_GELU=erf|tanh forces either.
+    """
+    import os
+
+    forced = os.environ.get("MMF_TPU_GELU", "").lower()
+    if forced in ("erf", "exact"):
+        approx = False
+    elif forced in ("tanh", "approx"):
+        approx = True
+    else:
+        approx = x.dtype == jnp.bfloat16
+    return nn.gelu(x, approximate=approx)
+
+
 ACT2FN = {
-    # exact erf GELU — what torch/HF BERT use; flax's default is the tanh
-    # approximation, which breaks <1e-4 logit parity with converted weights
-    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu": _gelu,
     "relu": nn.relu,
     "silu": nn.silu,
     "swish": nn.silu,
