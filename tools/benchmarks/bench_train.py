@@ -47,7 +47,9 @@ def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
     )
     step = make_train_step(model.apply, Losses([{"type": "logit_bce"}]),
                            tx, meta=meta)
-    state = create_train_state(variables, tx, jax.random.PRNGKey(2))
+    # match the trainer default (training.rng_impl=rbg): hardware RNG for
+    # dropout bits, +24% measured over threefry at these shapes
+    state = create_train_state(variables, tx, jax.random.key(2, impl="rbg"))
 
     @jax.jit
     def run_many(state, batch):
