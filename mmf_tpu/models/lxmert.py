@@ -51,8 +51,11 @@ class CrossAttLayer(nn.Module):
         q = nn.Dense(c.hidden_size, name="query")(input_tensor)
         k = nn.Dense(c.hidden_size, name="key")(ctx_tensor)
         v = nn.Dense(c.hidden_size, name="value")(ctx_tensor)
+        rate = 0.0 if deterministic else c.attention_probs_dropout_prob
         ctx = dot_product_attention(
-            _split(q, h), _split(k, h), _split(v, h), ctx_bias
+            _split(q, h), _split(k, h), _split(v, h), ctx_bias,
+            dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
         out = nn.Dense(c.hidden_size, name="output_dense")(_merge(ctx))
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic)

@@ -92,8 +92,15 @@ class DETRDecoderLayer(nn.Module):
         q = nn.Dense(c.hidden_size, name="self_q")(queries)
         k = nn.Dense(c.hidden_size, name="self_k")(queries)
         v = nn.Dense(c.hidden_size, name="self_v")(queries)
-        sa = _merge(dot_product_attention(_split(q, h), _split(k, h),
-                                          _split(v, h)))
+        # DETR passes its transformer dropout to nn.MultiheadAttention,
+        # which applies it to the attention probs (reference
+        # models/unit/transformer.py)
+        rate = 0.0 if deterministic else c.attention_probs_dropout_prob
+        sa = _merge(dot_product_attention(
+            _split(q, h), _split(k, h), _split(v, h),
+            dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+        ))
         sa = nn.Dense(c.hidden_size, name="self_out")(sa)
         queries = nn.LayerNorm(name="ln1")(queries + nn.Dropout(
             c.hidden_dropout_prob)(sa, deterministic))
@@ -101,8 +108,11 @@ class DETRDecoderLayer(nn.Module):
         q = nn.Dense(c.hidden_size, name="cross_q")(queries)
         k = nn.Dense(c.hidden_size, name="cross_k")(memory)
         v = nn.Dense(c.hidden_size, name="cross_v")(memory)
-        ca = _merge(dot_product_attention(_split(q, h), _split(k, h),
-                                          _split(v, h), memory_bias))
+        ca = _merge(dot_product_attention(
+            _split(q, h), _split(k, h), _split(v, h), memory_bias,
+            dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+        ))
         ca = nn.Dense(c.hidden_size, name="cross_out")(ca)
         queries = nn.LayerNorm(name="ln2")(queries + nn.Dropout(
             c.hidden_dropout_prob)(ca, deterministic))

@@ -69,8 +69,13 @@ class ImageSelfAttention(nn.Module):
             q = q * gate_q[:, None, :]
             k = k * gate_k[:, None, :]
 
+        rate = 0.0 if deterministic else c.get(
+            "v_attention_probs_dropout_prob", 0.1
+        )
         ctx = dot_product_attention(
-            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias
+            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias,
+            dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
         return _merge_heads(ctx)
 
@@ -112,8 +117,13 @@ class TextLayer(nn.Module):
         q = nn.Dense(hsz, name="query")(hidden)
         k = nn.Dense(hsz, name="key")(hidden)
         v = nn.Dense(hsz, name="value")(hidden)
+        rate = 0.0 if deterministic else c.get(
+            "attention_probs_dropout_prob", 0.1
+        )
         ctx = dot_product_attention(
-            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias
+            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias,
+            dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
         att = nn.Dense(hsz, name="attention_output_dense")(_merge_heads(ctx))
         att = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(att, deterministic)
@@ -147,15 +157,27 @@ class ConnectionLayer(nn.Module):
         k2 = nn.Dense(bi, name="key2")(t_hidden)
         va2 = nn.Dense(bi, name="value2")(t_hidden)
 
+        # probs dropout per direction (reference BertBiAttention dropout1/
+        # dropout2, vilbert.py:347-475)
+        rate1 = 0.0 if deterministic else c.get(
+            "v_attention_probs_dropout_prob", 0.1
+        )
+        rate2 = 0.0 if deterministic else c.get(
+            "attention_probs_dropout_prob", 0.1
+        )
         # text queries attend image keys/values (context for text)
         ctx1 = dot_product_attention(
             _split_heads(q2, h), _split_heads(k1, h), _split_heads(va1, h),
             v_bias,
+            dropout_rate=rate1,
+            dropout_rng=self.make_rng("dropout") if rate1 > 0.0 else None,
         )
         # image queries attend text keys/values (context for image)
         ctx2 = dot_product_attention(
             _split_heads(q1, h), _split_heads(k2, h), _split_heads(va2, h),
             t_bias,
+            dropout_rate=rate2,
+            dropout_rng=self.make_rng("dropout") if rate2 > 0.0 else None,
         )
         ctx1 = _merge_heads(ctx1)  # [B, T_text, bi]
         ctx2 = _merge_heads(ctx2)  # [B, T_img, bi]

@@ -178,9 +178,14 @@ class MovieMcanMultiHeadAttention(nn.Module):
             bias = jnp.where(mask, -1e9, 0.0).astype(jnp.float32)
             if bias.ndim == 2:
                 bias = bias[:, None, None, :]
-        ctx = dot_product_attention(qh, kh, vh, bias=bias)
+        # dropout applies to the attention map, not the context
+        # (reference attention.py:192-196: p_attn = dropout(p_attn))
+        rate = 0.0 if deterministic else self.dropout
+        ctx = dot_product_attention(
+            qh, kh, vh, bias=bias, dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+        )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
-        ctx = nn.Dropout(self.dropout)(ctx, deterministic)
         return nn.Dense(self.dim, name="out_lin")(ctx)
 
 

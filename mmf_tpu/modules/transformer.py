@@ -122,7 +122,15 @@ class SelfAttention(nn.Module):
             return x.reshape(x.shape[0], x.shape[1], h, d).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        ctx = dot_product_attention(q, k, v, bias=bias)
+        attn_rng = None
+        if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
+            attn_rng = self.make_rng("dropout")
+        ctx = dot_product_attention(
+            q, k, v, bias=bias,
+            dropout_rate=0.0 if deterministic
+            else cfg.attention_probs_dropout_prob,
+            dropout_rng=attn_rng,
+        )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(
             hidden.shape[0], hidden.shape[1], cfg.hidden_size
         )

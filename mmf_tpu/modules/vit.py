@@ -81,7 +81,11 @@ class ViTLayer(nn.Module):
                 0, 2, 1, 3
             )
 
-        ctx = dot_product_attention(split(q), split(k), split(v), bias=bias)
+        rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        ctx = dot_product_attention(
+            split(q), split(k), split(v), bias=bias, dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+        )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(
             x.shape[0], x.shape[1], cfg.hidden_size
         )

@@ -75,9 +75,15 @@ def mha_reference(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain XLA attention. q: [B,H,Sq,D], k/v: [B,H,Skv,D],
-    bias: broadcastable to [B,H,Sq,Skv] (additive, -inf style masking)."""
+    bias: broadcastable to [B,H,Sq,Skv] (additive, -inf style masking).
+
+    dropout_rate/dropout_rng: attention-probability dropout (reference
+    BertSelfAttention applies ``self.dropout(attention_probs)``,
+    hf_layers.py:138-215); active only when both are provided."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     ldt = _logits_dtype(q)
@@ -89,6 +95,11 @@ def mha_reference(
         logits = logits + bias.astype(ldt)
     # softmax always reduces in f32 (upcast fuses into the consumer)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(
+            dropout_rng, 1.0 - dropout_rate, probs.shape
+        )
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -313,13 +324,20 @@ def dot_product_attention(
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Framework-wide attention entry point. [B,H,S,D] layout.
 
     impl: None (auto), "pallas", "pallas_interpret" (tests), or "xla".
+    dropout_rate/dropout_rng: attention-probs dropout (train only); the
+    flash kernel has no probs to drop, so active dropout always routes
+    through the XLA path.
     """
     if impl is None:
         impl = default_impl()
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return mha_reference(q, k, v, bias, scale, dropout_rate, dropout_rng)
     if impl == "xla":
         return mha_reference(q, k, v, bias, scale)
     if impl == "pallas_interpret":

@@ -116,3 +116,33 @@ def test_combine_biases():
     a = jnp.ones((1, 1, 1, 4))
     assert combine_biases(None, None) is None
     np.testing.assert_allclose(np.asarray(combine_biases(a, None, a)), 2.0)
+
+
+def test_attention_probs_dropout_active_in_train():
+    """Attention-probs dropout (reference BertSelfAttention's
+    dropout(attention_probs)) must perturb outputs in train mode and be
+    a no-op when deterministic."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mmf_tpu.modules.transformer import SelfAttention, TransformerConfig
+
+    cfg = TransformerConfig(hidden_size=32, num_attention_heads=4,
+                            attention_probs_dropout_prob=0.5,
+                            hidden_dropout_prob=0.0)
+    mod = SelfAttention(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, 32), jnp.float32)
+    variables = mod.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, x)
+
+    det = mod.apply(variables, x, deterministic=True)
+    det2 = mod.apply(variables, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+    tr1 = mod.apply(variables, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    tr2 = mod.apply(variables, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+    assert np.abs(np.asarray(tr1) - np.asarray(tr2)).max() > 1e-6
+    assert np.abs(np.asarray(tr1) - np.asarray(det)).max() > 1e-6
