@@ -40,15 +40,17 @@ class UNITERImageEmbeddings(nn.Module):
     def __call__(self, img_feat, img_pos_feat, type_embeddings,
                  img_masks=None, deterministic=True):
         if img_masks is not None:
-            # learned [MASK] vector added on masked regions (index-0 row is
-            # forced to zero in the reference; here we gate by the mask)
-            mask_vec = self.param(
-                "mask_embedding", nn.initializers.normal(0.02),
-                (img_feat.shape[-1],),
+            # learned [MASK] row added on masked regions; same [2, img_dim]
+            # table layout as the reference (whose row 0 is forced to zero
+            # before the gather, uniter.py:78-81 — here the mask gates it)
+            table = nn.Embed(
+                2, img_feat.shape[-1],
+                embedding_init=nn.initializers.normal(0.02),
+                name="mask_embedding",
             )
+            masks = img_masks.astype(jnp.int32)
             img_feat = img_feat + (
-                mask_vec[None, None, :]
-                * img_masks[..., None].astype(img_feat.dtype)
+                table(masks) * masks[..., None].astype(img_feat.dtype)
             )
         im = nn.LayerNorm(epsilon=self.eps, name="img_layer_norm")(
             nn.Dense(self.hidden_size, name="img_linear")(img_feat)
@@ -61,6 +63,50 @@ class UNITERImageEmbeddings(nn.Module):
         return nn.Dropout(self.hidden_dropout_prob)(emb, deterministic)
 
 
+class UNITERTextEmbeddings(nn.Module):
+    """BERT word/pos/type embeddings with the token-type table exposed so
+    the image stream can reuse it — the reference gathers image type
+    embeddings from the TEXT embedding table
+    (``self.text_embeddings.token_type_embeddings(img_type_ids)``,
+    reference uniter.py:173): one tied table, not two."""
+
+    cfg: TransformerConfig
+
+    def setup(self):
+        c = self.cfg
+        init = nn.initializers.normal(c.initializer_range)
+        self.word_embeddings = nn.Embed(
+            c.vocab_size, c.hidden_size, embedding_init=init,
+            param_dtype=jnp.float32, dtype=c.dtype,
+        )
+        self.position_embeddings = nn.Embed(
+            c.max_position_embeddings, c.hidden_size, embedding_init=init,
+            param_dtype=jnp.float32, dtype=c.dtype,
+        )
+        self.token_type_embeddings = nn.Embed(
+            c.type_vocab_size, c.hidden_size, embedding_init=init,
+            param_dtype=jnp.float32, dtype=c.dtype,
+        )
+        self.layer_norm = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=c.dtype, param_dtype=jnp.float32,
+        )
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids, position_ids=None, token_type_ids=None,
+                 deterministic=True):
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[1])[None, :]
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        x = (
+            self.word_embeddings(input_ids.astype(jnp.int32))
+            + self.position_embeddings(position_ids.astype(jnp.int32))
+            + self.token_type_embeddings(token_type_ids.astype(jnp.int32))
+        )
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic)
+
+
 class UNITERModelBase(nn.Module):
     """(reference uniter.py:91-277)"""
 
@@ -70,14 +116,16 @@ class UNITERModelBase(nn.Module):
     @nn.compact
     def __call__(self, input_ids, position_ids, img_feat, img_pos_feat,
                  attention_mask, img_masks=None, deterministic=True):
-        txt = TextEmbeddings(self.cfg, name="text_embeddings")(
+        text_embeddings = UNITERTextEmbeddings(
+            self.cfg, name="text_embeddings"
+        )
+        txt = text_embeddings(
             input_ids, position_ids=position_ids, deterministic=deterministic
         )
+        # image type embeddings come from the TEXT token-type table
+        # (reference uniter.py:169-177) — tied storage, not a second table
         img_type_ids = jnp.ones(img_feat.shape[:2], jnp.int32)
-        type_emb = nn.Embed(
-            self.cfg.type_vocab_size, self.cfg.hidden_size,
-            name="img_type_embeddings",
-        )(img_type_ids)
+        type_emb = text_embeddings.token_type_embeddings(img_type_ids)
         img = UNITERImageEmbeddings(
             self.cfg.hidden_size,
             hidden_dropout_prob=self.cfg.hidden_dropout_prob,
