@@ -212,3 +212,35 @@ def test_mmf_bert():
     variables = model.init(RNG, batch, False)
     out = model.apply(variables, batch, False)
     assert out["scores"].shape == (B, 7)
+
+
+def test_vinvl_pretraining_two_pass():
+    """MLM on masked ids + three-way contrastive on a SECOND forward over
+    corrupted ids (reference vinvl.py:358-390)."""
+    mc = omega.create(dict(SMALL, training_head_type="pretraining"))
+    model = registry.get_model_class("vinvl")(config=mc)
+    batch = dict(_vl_batch())
+    ids = np.asarray(batch["input_ids"])
+    rng = np.random.RandomState(3)
+    batch["input_ids_masked"] = ids
+    lm = ids.copy()
+    lm[:, ::2] = -1
+    batch["lm_label_ids"] = lm
+    batch["input_ids_corrupt"] = rng.randint(0, 50, ids.shape)
+    batch["segment_ids_corrupt"] = np.zeros_like(ids)
+    batch["input_mask_corrupt"] = np.ones_like(ids)
+    batch["contrastive_labels"] = np.asarray([0, 1] * (B // 2))[:B]
+    variables = model.init(RNG, batch, False)
+    out = model.apply(variables, batch, False)
+    keys = list(out["losses"])
+    assert any("masked_lm_loss" in k for k in keys), keys
+    assert any("three_way_contrastive_loss" in k for k in keys), keys
+    # corrupting the corrupt-pass inputs must change ONLY the contrastive
+    # loss (it runs on its own forward)
+    batch2 = dict(batch)
+    batch2["input_ids_corrupt"] = rng.randint(0, 50, ids.shape)
+    out2 = model.apply(variables, batch2, False)
+    mlm_key = [k for k in keys if "masked_lm" in k][0]
+    c_key = [k for k in keys if "three_way" in k][0]
+    assert float(out["losses"][mlm_key]) == float(out2["losses"][mlm_key])
+    assert float(out["losses"][c_key]) != float(out2["losses"][c_key])
