@@ -108,16 +108,22 @@ class MMFTransformer(BaseTransformer):
         embeddings = []
         masks = []
         mlm_label_parts = []
+        # first text modality's token table; MLM heads tie their decoder
+        # to it (reference mmf_transformer.py:145-174 tie_weights)
+        text_embedding_table = None
         for idx, modality in enumerate(modalities):
             key = modality["key"]
             mtype = modality["type"]
             raw = self._modality_input(modality, sample_list)
 
             if mtype == "text":
-                tok = nn.Embed(
+                tok_embed = nn.Embed(
                     tcfg.vocab_size, hidden, name=f"token_embeddings_{idx}",
                     embedding_init=nn.initializers.normal(0.02),
-                )(raw.astype(jnp.int32))
+                )
+                tok = tok_embed(raw.astype(jnp.int32))
+                if text_embedding_table is None:
+                    text_embedding_table = tok_embed.embedding
                 seq_len = tok.shape[1]
                 mask = sample_list.get(
                     "input_mask", jnp.ones(tok.shape[:2], jnp.int32)
@@ -184,10 +190,17 @@ class MMFTransformer(BaseTransformer):
             if isinstance(heads_dict.head_names, dict)
             else list(heads_dict.head_names)
         )
+        tie = c.get("tie_weights", True)
         for name in names:
-            out = heads_dict.heads[name](
+            head = heads_dict.heads[name]
+            kwargs = {}
+            if tie and text_embedding_table is not None and getattr(
+                head, "ties_embeddings", False
+            ):
+                kwargs["shared_embedding"] = text_embedding_table
+            out = head(
                 sequence, processed_sample_list=sl,
-                deterministic=deterministic,
+                deterministic=deterministic, **kwargs,
             )
             for k, v in out.items():
                 if k == "losses":

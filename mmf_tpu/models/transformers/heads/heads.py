@@ -50,13 +50,16 @@ def _masked_ce(logits, labels, ignore_index=-1):
 
 @registry.register_transformer_head("mlm")
 class MLM(BaseTransformerHead):
-    """(reference heads/mlm.py)"""
+    """(reference heads/mlm.py). ``shared_embedding`` ties the decoder to
+    the caller's token-embedding table (reference BaseTransformerHead
+    .tie_weights / mmf_transformer.py:145-174)."""
 
     config: Any = None
+    ties_embeddings: bool = True
 
     @nn.compact
     def __call__(self, sequence_output, processed_sample_list=None,
-                 deterministic=True):
+                 deterministic=True, shared_embedding=None):
         from mmf_tpu.modules.transformer import MLMHead
 
         c = self.config or {}
@@ -68,7 +71,9 @@ class MLM(BaseTransformerHead):
             masked_labels = processed_sample_list["mlm_labels"][
                 "combined_labels"
             ]
-        logits = MLMHead(tcfg, name="cls")(sequence_output)
+        logits = MLMHead(tcfg, name="cls")(
+            sequence_output, shared_embedding=shared_embedding
+        )
         loss = _masked_ce(logits, masked_labels, c.get("ignore_index", -1))
         return {
             "logits": logits,
@@ -79,13 +84,16 @@ class MLM(BaseTransformerHead):
 @registry.register_transformer_head("mlm_multi")
 class MLMForMultiHeads(BaseTransformerHead):
     config: Any = None
+    ties_embeddings: bool = True
 
     @nn.compact
-    def __call__(self, _, processed_sample_list=None, deterministic=True):
+    def __call__(self, _, processed_sample_list=None, deterministic=True,
+                 shared_embedding=None):
         return MLM(self.config, name="mlm_head")(
             processed_sample_list["hs_masked_for_mlm"],
             processed_sample_list=processed_sample_list,
             deterministic=deterministic,
+            shared_embedding=shared_embedding,
         )
 
 
