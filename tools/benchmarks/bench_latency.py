@@ -59,7 +59,37 @@ def measure(samples: int, dtype: str = "bfloat16"):
         float(forward(variables, batch))  # scalar fetch = device fence
         lat.append((time.perf_counter() - t0) * 1000)
     lat = np.asarray(lat)
-    return float(np.percentile(lat, 50)), float(np.percentile(lat, 95))
+
+    # device-only latency: end-to-end latency through this host's tunnel
+    # carries a fixed ~25 ms per-call overhead (BENCH_NOTES.md); chain N
+    # forwards in one call and take the marginal to isolate device time
+    def chained(n, repeats=3):
+        @jax.jit
+        def forward_many(variables, batch):
+            def body(c, _):
+                # carry-dependence keeps the forward inside the scan
+                # (a loop-invariant body gets hoisted and measures zero)
+                b = dict(batch)
+                b["image"] = batch["image"] + c * 1e-9
+                scores = model.apply(variables, dict(b, **meta), False)[
+                    "scores"
+                ]
+                return c + jnp.sum(scores.astype(jnp.float32)) * 1e-9, None
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n)
+            return c
+
+        float(forward_many(variables, batch))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(forward_many(variables, batch))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = chained(10), chained(60)
+    device_ms = (t2 - t1) / 50 * 1000
+    return (float(np.percentile(lat, 50)), float(np.percentile(lat, 95)),
+            device_ms)
 
 
 def main():
@@ -68,13 +98,14 @@ def main():
     parser.add_argument("--dtype", choices=["bfloat16", "float32"],
                         default="bfloat16")
     args = parser.parse_args()
-    p50, p95 = measure(args.samples, args.dtype)
+    p50, p95, device_ms = measure(args.samples, args.dtype)
     print(json.dumps({
         "metric": "Hateful Memes p50 inference latency (MMBT-grid, "
                   f"{args.dtype}, batch 1)",
         "value": round(p50, 2),
         "unit": "ms",
         "p95_ms": round(p95, 2),
+        "device_ms": round(device_ms, 2),
     }))
 
 
