@@ -8,8 +8,11 @@ Decoding differences from the reference (deliberate, TPU-first):
   - teacher forcing and greedy decoding run at FIXED timesteps inside one
     jit (the reference shrinks the batch as captions finish — a dynamic
     shape; we keep full batch and let the caption mask zero the loss);
-  - beam_search / nucleus_sampling run host-side through the registered
-    decoders in utils/text.py driving the jitted single-step function.
+  - beam_search runs fully in-jit with a FIXED beam width: all k beams
+    stay alive for the whole unroll (finished beams pinned on EOS with
+    frozen scores) so every shape is static — the TPU redesign of the
+    reference's host-side dynamic-beam loop. nucleus_sampling runs
+    host-side through the registered decoder in utils/text.py.
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mmf_tpu.common.registry import registry
@@ -126,7 +130,90 @@ class BUTD(Pythia):
             z = jnp.zeros((B, hidden_dim), jnp.float32)
             return {"td_hidden": (z, z), "lm_hidden": (z, z)}
 
+        sos = registry.get("butd_sos_index", no_warning=True) or 1
+        eos = registry.get("butd_eos_index", no_warning=True) or 2
         teacher_forcing = train and "text" in sample_list
+
+        if inference_type == "beam_search" and not train:
+            # Fixed-beam in-jit beam search — the TPU redesign of the
+            # reference's host-side dynamic-beam loop (butd.py:129-160 +
+            # utils/text.py:274-387): all k beams stay alive for the full
+            # unroll (finished beams pinned on EOS with frozen scores), so
+            # every shape is static and the whole search compiles into the
+            # forward. Selection matches the reference: best finished beam
+            # by raw (unnormalized) log-prob sum, else best alive.
+            k = int(cfg.get("inference", {}).get("params", {}).get(
+                "beam_length", 5
+            ))
+            NEG = jnp.float32(-1e9)
+
+            def expand(x):
+                return jnp.repeat(x, k, axis=0)
+
+            feat_k = expand(image_feat)
+            fmask_k = expand(feature_mask) if feature_mask is not None \
+                else None
+            z = jnp.zeros((B * k, hidden_dim), jnp.float32)
+            state = {"td_hidden": (z, z), "lm_hidden": (z, z)}
+
+            seqs = jnp.full((B, k, max_length), 0, jnp.int32)
+            beam_scores = jnp.where(
+                jnp.arange(k)[None, :] == 0, 0.0, NEG
+            ) * jnp.ones((B, 1))  # only beam 0 live at t=0
+            finished = jnp.zeros((B, k), bool)
+            prev = jnp.full((B * k,), sos, jnp.int32)
+
+            for t in range(max_length):
+                emb = word_embedding(prev)
+                out, state = step(feat_k, emb, state, fmask_k, True)
+                lp = nn.log_softmax(
+                    out.astype(jnp.float32), axis=-1
+                ).reshape(B, k, vocab_size)
+                # finished beams contribute exactly one candidate: extend
+                # with EOS at +0 score
+                eos_only = jnp.full((vocab_size,), NEG).at[eos].set(0.0)
+                cand = jnp.where(finished[:, :, None], eos_only[None, None],
+                                 lp)
+                total = beam_scores[:, :, None] + cand  # [B, k, V]
+                flat = total.reshape(B, k * vocab_size)
+                beam_scores, idx = jax.lax.top_k(flat, k)
+                prev_beam = idx // vocab_size  # [B, k]
+                word = (idx % vocab_size).astype(jnp.int32)
+
+                # reorder sequences and recurrent state by parent beam
+                seqs = jnp.take_along_axis(
+                    seqs, prev_beam[:, :, None], axis=1
+                )
+                seqs = seqs.at[:, :, t].set(word)
+                gather = (prev_beam
+                          + (jnp.arange(B) * k)[:, None]).reshape(-1)
+                state = jax.tree_util.tree_map(
+                    lambda s: s[gather], state
+                )
+                finished = jnp.take_along_axis(finished, prev_beam, axis=1)
+                finished = finished | (word == eos)
+                prev = word.reshape(-1)
+
+            # pick best finished beam, else best overall
+            pick_scores = jnp.where(finished, beam_scores, beam_scores + NEG)
+            any_finished = jnp.any(finished, axis=1)
+            best = jnp.where(
+                any_finished,
+                jnp.argmax(pick_scores, axis=1),
+                jnp.argmax(beam_scores, axis=1),
+            )
+            captions = jnp.take_along_axis(
+                seqs, best[:, None, None], axis=1
+            )[:, 0]
+            ds = sample_list.get("dataset_name", "unknown")
+            dt = sample_list.get("dataset_type", "test")
+            return {
+                "captions": captions,
+                # dummy loss so loss computation is skipped
+                # (reference butd.py:168-175)
+                "losses": {f"{ds}/{dt}/dummy_loss": jnp.zeros((B,))},
+            }
+
         state = init_state()
         scores_list = []
 
@@ -140,7 +227,6 @@ class BUTD(Pythia):
                 )
                 scores_list.append(out)
         else:
-            sos = registry.get("butd_sos_index", no_warning=True) or 1
             prev = jnp.full((B,), sos, jnp.int32)
             for t in range(max_length):
                 emb = word_embedding(prev)
@@ -158,8 +244,8 @@ class BUTD(Pythia):
                 constant_values=1.0,
             )
         output: Dict[str, Any] = {"scores": scores}
-        if inference_type in ("beam_search", "nucleus_sampling") and not train:
-            # host-side decoding consumes per-step log-probs; expose greedy
-            # captions for the caption metrics meanwhile
+        if inference_type == "nucleus_sampling" and not train:
+            # host-side sampling consumes per-step log-probs; greedy
+            # captions exposed for the caption metrics meanwhile
             output["captions"] = jnp.argmax(scores, axis=-1)
         return output

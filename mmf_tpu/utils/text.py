@@ -192,9 +192,15 @@ class BeamSearch(TextDecoder):
         return sample_list
 
     def decode(self, t, data, scores):
-        """scores: [beams, vocab] log-probs for this step. Returns
+        """scores: [beams, vocab] raw logits for this step (the reference
+        applies log_softmax itself, text.py:296). Returns
         (finished, data, remaining_beams)."""
-        scores = np.asarray(scores) + self.top_k_scores  # [beams, V]
+        scores = np.asarray(scores, np.float64)
+        scores = scores - np.log(
+            np.sum(np.exp(scores - scores.max(-1, keepdims=True)), -1,
+                   keepdims=True)
+        ) - scores.max(-1, keepdims=True)
+        scores = scores.astype(np.float32) + self.top_k_scores  # [beams, V]
         k = self.seqs.shape[0]
         if t == 0:
             flat = scores[0]
