@@ -11,8 +11,10 @@ Decoding differences from the reference (deliberate, TPU-first):
   - beam_search runs fully in-jit with a FIXED beam width: all k beams
     stay alive for the whole unroll (finished beams pinned on EOS with
     frozen scores) so every shape is static — the TPU redesign of the
-    reference's host-side dynamic-beam loop. nucleus_sampling runs
-    host-side through the registered decoder in utils/text.py.
+    reference's host-side dynamic-beam loop;
+  - nucleus_sampling is likewise in-jit and batched (the reference's host
+    decoder is batch-1), drawing from the renormalized top-p set each
+    step with the "sampling" rng collection when provided.
 """
 
 from __future__ import annotations
@@ -214,6 +216,48 @@ class BUTD(Pythia):
                 "losses": {f"{ds}/{dt}/dummy_loss": jnp.zeros((B,))},
             }
 
+        if inference_type == "nucleus_sampling" and not train:
+            # In-jit top-p sampling (reference utils/text.py:389-448 ran a
+            # host loop, batch-1 only; this is batched with static
+            # shapes). Tokens outside the smallest set whose cumulative
+            # probability reaches sum_threshold are masked before a
+            # categorical draw; finished sequences keep emitting EOS.
+            p = float(cfg.get("inference", {}).get("params", {}).get(
+                "sum_threshold", 0.5
+            ))
+            rng = (self.make_rng("sampling") if self.has_rng("sampling")
+                   else jax.random.PRNGKey(0))
+            state = init_state()
+            caps = jnp.zeros((B, max_length), jnp.int32)
+            finished = jnp.zeros((B,), bool)
+            prev = jnp.full((B,), sos, jnp.int32)
+            for t in range(max_length):
+                emb = word_embedding(prev)
+                out, state = step(
+                    image_feat, emb, state, feature_mask, True
+                )
+                probs = nn.softmax(out.astype(jnp.float32), axis=-1)
+                order = jnp.argsort(-probs, axis=-1)
+                sorted_p = jnp.take_along_axis(probs, order, axis=-1)
+                cum = jnp.cumsum(sorted_p, axis=-1)
+                keep = (cum - sorted_p) < p  # first token always kept
+                sorted_logits = jnp.where(keep, jnp.log(sorted_p), -1e9)
+                rng, sub = jax.random.split(rng)
+                choice = jax.random.categorical(sub, sorted_logits)
+                word = jnp.take_along_axis(
+                    order, choice[:, None], axis=-1
+                )[:, 0].astype(jnp.int32)
+                word = jnp.where(finished, eos, word)
+                caps = caps.at[:, t].set(word)
+                finished = finished | (word == eos)
+                prev = word
+            ds = sample_list.get("dataset_name", "unknown")
+            dt = sample_list.get("dataset_type", "test")
+            return {
+                "captions": caps,
+                "losses": {f"{ds}/{dt}/dummy_loss": jnp.zeros((B,))},
+            }
+
         state = init_state()
         scores_list = []
 
@@ -244,8 +288,4 @@ class BUTD(Pythia):
                 constant_values=1.0,
             )
         output: Dict[str, Any] = {"scores": scores}
-        if inference_type == "nucleus_sampling" and not train:
-            # host-side sampling consumes per-step log-probs; greedy
-            # captions exposed for the caption metrics meanwhile
-            output["captions"] = jnp.argmax(scores, axis=-1)
         return output

@@ -309,3 +309,40 @@ def test_butd_in_jit_beam_search():
     # the greedy table is only valid for the first diverging step, so just
     # assert both decodes produce valid, finite scores
     assert np.isfinite(g_score).all()
+
+
+def test_butd_in_jit_nucleus_sampling():
+    _register_dataset_meta()
+    mc = omega.create({
+        "model_data_dir": "",
+        "embedding_dim": 16,
+        "max_length": 5,
+        "text_vocab_size": 50,
+        "classifier": {"type": "language_decoder",
+                       "params": {"dropout": 0.0, "hidden_dim": 12,
+                                  "feature_dim": 64, "fc_bias_init": 0}},
+        "attention": {"params": {"attention_dim": 12}},
+        "image_feature_dim": 64,
+        "image_feature_encodings": [
+            {"type": "default", "params": {"in_dim": 64}}],
+        "inference": {"type": "nucleus_sampling",
+                      "params": {"beam_length": 2, "sum_threshold": 0.9}},
+    })
+    cls = registry.get_model_class("butd")
+    model = cls(config=mc)
+    rng = np.random.RandomState(0)
+    batch = _vqa_batch()
+    batch["text"] = jnp.asarray(rng.randint(0, 50, (B, 5)))
+    batch["answers"] = jnp.asarray(rng.randint(0, 50, (B, 5, 5)))
+    variables = model.init({"params": RNG, "dropout": RNG}, batch, True)
+    out1 = model.apply(variables, batch, False,
+                       rngs={"sampling": jax.random.PRNGKey(1)})
+    out2 = model.apply(variables, batch, False,
+                       rngs={"sampling": jax.random.PRNGKey(2)})
+    assert out1["captions"].shape == (B, 5)
+    # different sampling keys give different draws (p=0.9 keeps several)
+    assert not np.array_equal(np.asarray(out1["captions"]),
+                              np.asarray(out2["captions"]))
+    # no rngs provided still works (fixed fallback key)
+    out3 = model.apply(variables, batch, False)
+    assert out3["captions"].shape == (B, 5)
