@@ -43,6 +43,15 @@ class VinVL(BaseModel):
                 "num_attention_heads": c.get("num_attention_heads", 12),
                 "intermediate_size": c.get("intermediate_size", 3072),
                 "vocab_size": c.get("vocab_size", 30522),
+                "max_position_embeddings": c.get(
+                    "max_position_embeddings", 512
+                ),
+                "type_vocab_size": c.get("type_vocab_size", 2),
+                "hidden_dropout_prob": c.get("hidden_dropout_prob", 0.1),
+                "attention_probs_dropout_prob": c.get(
+                    "attention_probs_dropout_prob", 0.1
+                ),
+                "layer_norm_eps": c.get("layer_norm_eps", 1e-12),
                 "dtype": c.get("dtype", "float32"),
             }
         )
