@@ -1,12 +1,20 @@
 """KRISP: knowledge-graph VQA (parity with mmf/models/krisp.py:782).
 
 VisualBERT-style implicit branch + a symbolic graph network over a
-knowledge base. The graph module runs graph convolutions over a fixed
-adjacency matrix (dense jnp matmuls — the TPU-correct formulation of the
-reference's torch-geometric sparse ops); node activations are seeded from
-question/answer-grounded concepts and read out into the answer space.
+knowledge base, with the reference's composition machinery:
+  - ``feed_vb_to_graph`` with feed modes ``feed_vb_hid_to_graph`` /
+    ``feed_vb_logit_to_graph`` (krisp.py:166-196): the implicit branch's
+    pooled hidden or answer logits are injected as graph node inputs;
+  - ``graph_logit_mode`` ``mc4`` (bilinear GraphPtrNet, krisp.py:246-283,
+    with the ``noback_vb_to_blinear`` stop-gradient), ``logit_fc``
+    (per-node linear) or ``in_graph``;
+  - ``output_combine`` ``add`` (with ``missing_ans_inds`` zeroed,
+    krisp.py:214-227) or ``concat``;
+  - ``zerobias`` -6.58 logit shift (krisp.py:229-231).
 
-KB files (adjacency + node-name maps) come from
+The graph module runs graph convolutions over a fixed adjacency matrix
+(dense jnp matmuls — the TPU-correct formulation of the reference's
+torch-geometric sparse ops). KB files come from
 ``config.graph_module.kb_path``; absent files raise a clear error.
 """
 
@@ -16,6 +24,7 @@ import os
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +62,21 @@ class GraphNetworkModule(nn.Module):
         return x
 
 
+class GraphPtrNet(nn.Module):
+    """Bilinear pointer scores between the implicit-branch hidden and the
+    answer-node hiddens (reference krisp.py:246-283, Eq. 4 of the M4C
+    pointer network)."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, bl_hidden, graph_hidden):
+        bl = nn.Dense(self.hidden_size, name="bl_w")(bl_hidden)
+        gh = nn.Dense(self.hidden_size, name="graph_w")(graph_hidden)
+        scores = jnp.einsum("bd,bnd->bn", bl, gh)
+        return scores / jnp.sqrt(jnp.float32(self.hidden_size))
+
+
 @registry.register_model("krisp")
 class KRISP(BaseModel):
     config: Any = None
@@ -77,30 +101,88 @@ class KRISP(BaseModel):
 
     @nn.compact
     def __call__(self, sample_list: Dict[str, Any], train: bool = False):
-        gm = self.config.get("graph_module", {}) or {}
+        c = self.config
+        gm = c.get("graph_module", {}) or {}
         vb_out = VisualBERT(
-            config=self.config.get("visual_bert", self.config),
+            config=c.get("visual_bert", c),
             name="visual_bert",
         )(sample_list, train)
-        implicit_scores = vb_out["scores"]
+        vb_logits = vb_out["scores"]
+        vb_hidden = vb_out.get("pooled_output", None)
+        num_labels = vb_logits.shape[-1]
+        B = vb_logits.shape[0]
 
         adjacency = jnp.asarray(self._load_adjacency())
         num_nodes = adjacency.shape[0]
-        B = implicit_scores.shape[0]
 
-        # seed node activations from question-grounded concepts if provided
+        # node inputs: question-grounded concept activations, optionally
+        # augmented with the implicit branch's state
+        # (reference krisp.py:166-196)
         node_inputs = sample_list.get("graph_node_inputs", None)
         if node_inputs is None:
             node_inputs = jnp.zeros((B, num_nodes, 1), jnp.float32)
+        if c.get("feed_vb_to_graph", False) and vb_hidden is not None:
+            mode = c.get("feed_mode", "feed_vb_hid_to_graph")
+            if mode == "feed_vb_hid_to_graph":
+                proj = nn.Dense(
+                    gm.get("node_in_dim", node_inputs.shape[-1]),
+                    name="vb_hid_to_node",
+                )(vb_hidden)
+                node_inputs = node_inputs + proj[:, None, :]
+            elif mode == "feed_vb_logit_to_graph":
+                # answer logits land on their answer nodes (first
+                # num_labels nodes unless an index map is configured)
+                ans_inds = gm.get("ans_node_inds", None)
+                idx = (jnp.asarray(ans_inds, jnp.int32) if ans_inds
+                       is not None else jnp.arange(num_labels))
+                inject = jnp.zeros((B, num_nodes), jnp.float32)
+                inject = inject.at[:, idx].set(vb_logits)
+                node_inputs = node_inputs + inject[..., None]
+
         graph_out = GraphNetworkModule(
             gm.get("node_hid_dim", 128), gm.get("num_gcn_layers", 2),
             name="graph_module",
-        )(node_inputs, adjacency)
+        )(node_inputs, adjacency)  # [B, N, H]
 
-        # symbolic answer scores: read out nodes mapped to the answer space
-        num_labels = implicit_scores.shape[-1]
-        graph_pooled = jnp.max(graph_out, axis=1)
-        symbolic_scores = nn.Dense(num_labels, name="graph_readout")(
-            graph_pooled
-        )
-        return {"scores": implicit_scores + symbolic_scores}
+        # answer-node subsample: which graph nodes correspond to answers
+        ans_inds = gm.get("ans_node_inds", None)
+        idx = (jnp.asarray(ans_inds, jnp.int32) if ans_inds is not None
+               else jnp.arange(min(num_labels, num_nodes)))
+        ans_nodes = graph_out[:, idx]  # [B, A, H]
+
+        mode = c.get("graph_logit_mode", "logit_fc")
+        if mode == "mc4":
+            bl = vb_hidden
+            if c.get("noback_vb_to_blinear", True):
+                bl = jax.lax.stop_gradient(bl)
+            graph_logits = GraphPtrNet(
+                gm.get("ptr_hidden_size", bl.shape[-1]), name="graph_ptr_net"
+            )(bl, ans_nodes)
+        elif mode == "in_graph":
+            graph_logits = ans_nodes[..., 0]
+        else:  # logit_fc
+            graph_logits = nn.Dense(1, name="graph_logit_fc")(
+                ans_nodes
+            )[..., 0]
+
+        if graph_logits.shape[-1] < num_labels:
+            graph_logits = jnp.pad(
+                graph_logits,
+                ((0, 0), (0, num_labels - graph_logits.shape[-1])),
+            )
+
+        combine = c.get("output_combine", "add")
+        if combine == "concat":
+            logits = jnp.concatenate([vb_logits, graph_logits], axis=1)
+        else:  # add — zero answers with no graph node
+            missing = c.get("missing_ans_inds", None)
+            if missing:
+                mask = jnp.ones((num_labels,), jnp.float32).at[
+                    jnp.asarray(missing, jnp.int32)
+                ].set(0.0)
+                graph_logits = graph_logits * mask[None, :]
+            logits = vb_logits + graph_logits[:, :num_labels]
+
+        if c.get("zerobias", False):
+            logits = logits - 6.58  # (reference krisp.py:229-231)
+        return {"scores": logits}

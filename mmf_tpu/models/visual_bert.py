@@ -280,4 +280,8 @@ class VisualBERT(BaseModel):
             output_dict["scores"] = logits.reshape(-1, num_labels).astype(
                 jnp.float32
             )
+            # pooled representation exposed for composition (KRISP feeds
+            # it to its graph network / bilinear pointer net,
+            # reference krisp.py:177-204)
+            output_dict["pooled_output"] = pooled_output
         return output_dict

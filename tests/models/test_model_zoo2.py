@@ -244,3 +244,46 @@ def test_vinvl_pretraining_two_pass():
     c_key = [k for k in keys if "three_way" in k][0]
     assert float(out["losses"][mlm_key]) == float(out2["losses"][mlm_key])
     assert float(out["losses"][c_key]) != float(out2["losses"][c_key])
+
+
+def test_krisp_modes():
+    """Reference composition machinery: feed_vb_to_graph, mc4 bilinear
+    pointer, output_combine, zerobias (reference krisp.py:132-244)."""
+    import jax as _jax
+
+    base = dict(
+        graph_module={"num_nodes": 16, "node_hid_dim": 8,
+                      "num_gcn_layers": 2},
+        visual_bert=dict(SMALL, training_head_type="classification",
+                         num_labels=6),
+    )
+    batch = _vl_batch()
+
+    def run(**over):
+        mc = omega.create(dict(base, **over))
+        m = registry.get_model_class("krisp")(config=mc)
+        v = m.init(RNG, batch, False)
+        return np.asarray(m.apply(v, batch, False)["scores"]), m, v
+
+    s_add, _, _ = run(output_combine="add")
+    assert s_add.shape == (B, 6)
+
+    s_cat, _, _ = run(output_combine="concat")
+    assert s_cat.shape == (B, 6 + 6)  # vb logits ++ graph logits
+
+    s_mc4, _, _ = run(graph_logit_mode="mc4", feed_vb_to_graph=True,
+                      feed_mode="feed_vb_hid_to_graph")
+    assert s_mc4.shape == (B, 6)
+
+    s_logit_feed, _, _ = run(feed_vb_to_graph=True,
+                             feed_mode="feed_vb_logit_to_graph")
+    assert s_logit_feed.shape == (B, 6)
+
+    s_zb, _, _ = run(output_combine="add", zerobias=True)
+    np.testing.assert_allclose(s_zb, s_add - 6.58, atol=1e-5)
+
+    # missing_ans_inds zero the graph contribution for those answers
+    s_missing, _, _ = run(output_combine="add",
+                          missing_ans_inds=[0, 1, 2, 3, 4, 5])
+    s_vb_only = s_missing  # all graph logits zeroed -> pure vb logits
+    assert np.isfinite(s_vb_only).all()
