@@ -287,3 +287,54 @@ def test_krisp_modes():
                           missing_ans_inds=[0, 1, 2, 3, 4, 5])
     s_vb_only = s_missing  # all graph logits zeroed -> pure vb logits
     assert np.isfinite(s_vb_only).all()
+
+
+def test_mmf_bert_heads():
+    """Per-head behaviors (reference mmf_bert.py:356-417): pretraining
+    MLM+NSP, vqa 2nd-last-token gather, visual_entailment pooled."""
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 7)
+    pythia_keys = {
+        "model_data_dir": "",
+        "classifier": {"type": "logit",
+                       "params": {"img_hidden_dim": 16,
+                                  "text_hidden_dim": 16}},
+        "image_feature_embeddings": [
+            {"modal_combine": {"type": "non_linear_element_multiply",
+                               "params": {"dropout": 0, "hidden_dim": 16}},
+             "normalization": "softmax",
+             "transform": {"type": "linear", "params": {"out_dim": 1}}}],
+        "image_feature_dim": 32,
+        "image_feature_encodings": [{"type": "default",
+                                     "params": {"in_dim": 32}}],
+        "image_text_modal_combine": {
+            "type": "non_linear_element_multiply",
+            "params": {"dropout": 0, "hidden_dim": 16}},
+        "text_embeddings": [],
+    }
+    base = dict(SMALL, **pythia_keys, training_head_type="pretraining")
+    batch = dict(_vl_batch())
+    ids = np.asarray(batch["input_ids"])
+    lm = ids.copy(); lm[:, ::2] = -1
+    batch["lm_label_ids"] = lm
+    batch["is_correct"] = np.asarray([1, 0] * (B // 2))[:B]
+
+    m = registry.get_model_class("mmf_bert")(config=omega.create(base))
+    v = m.init(RNG, batch, False)
+    out = m.apply(v, batch, False)
+    assert any("masked_lm_loss" in k for k in out["losses"])
+    assert any("next_sentence_loss" in k for k in out["losses"])
+    assert "seq_relationship_score" in out
+
+    m2 = registry.get_model_class("mmf_bert")(config=omega.create(
+        dict(SMALL, **pythia_keys, training_head_type="vqa",
+             num_labels=7)))
+    v2 = m2.init(RNG, batch, False)
+    assert m2.apply(v2, batch, False)["scores"].shape == (B, 7)
+
+    m3 = registry.get_model_class("mmf_bert")(config=omega.create(
+        dict(SMALL, **pythia_keys,
+             training_head_type="visual_entailment")))
+    v3 = m3.init(RNG, batch, False)
+    assert m3.apply(v3, batch, False)["scores"].shape == (B, 3)
