@@ -213,7 +213,7 @@ class BUTD(Pythia):
                 "captions": captions,
                 # dummy loss so loss computation is skipped
                 # (reference butd.py:168-175)
-                "losses": {f"{ds}/{dt}/dummy_loss": jnp.zeros((B,))},
+                "losses": {f"{dt}/{ds}/dummy_loss": jnp.zeros((B,))},
             }
 
         if inference_type == "nucleus_sampling" and not train:
@@ -255,7 +255,7 @@ class BUTD(Pythia):
             dt = sample_list.get("dataset_type", "test")
             return {
                 "captions": caps,
-                "losses": {f"{ds}/{dt}/dummy_loss": jnp.zeros((B,))},
+                "losses": {f"{dt}/{ds}/dummy_loss": jnp.zeros((B,))},
             }
 
         state = init_state()

@@ -131,12 +131,18 @@ class KRISP(BaseModel):
                 node_inputs = node_inputs + proj[:, None, :]
             elif mode == "feed_vb_logit_to_graph":
                 # answer logits land on their answer nodes (first
-                # num_labels nodes unless an index map is configured)
+                # num_labels nodes unless an index map is configured);
+                # clamp to num_nodes — OOB scatters are silently dropped
                 ans_inds = gm.get("ans_node_inds", None)
-                idx = (jnp.asarray(ans_inds, jnp.int32) if ans_inds
-                       is not None else jnp.arange(num_labels))
+                if ans_inds is not None:
+                    idx = jnp.asarray(ans_inds, jnp.int32)
+                    vals = vb_logits[:, : idx.shape[0]]
+                else:
+                    n = min(num_labels, num_nodes)
+                    idx = jnp.arange(n)
+                    vals = vb_logits[:, :n]
                 inject = jnp.zeros((B, num_nodes), jnp.float32)
-                inject = inject.at[:, idx].set(vb_logits)
+                inject = inject.at[:, idx].set(vals)
                 node_inputs = node_inputs + inject[..., None]
 
         graph_out = GraphNetworkModule(
@@ -152,6 +158,12 @@ class KRISP(BaseModel):
 
         mode = c.get("graph_logit_mode", "logit_fc")
         if mode == "mc4":
+            if vb_hidden is None:
+                raise ValueError(
+                    "graph_logit_mode=mc4 needs the implicit branch's "
+                    "pooled hidden; use a VisualBERT classification head "
+                    "(pretraining heads do not expose pooled_output)"
+                )
             bl = vb_hidden
             if c.get("noback_vb_to_blinear", True):
                 bl = jax.lax.stop_gradient(bl)

@@ -50,10 +50,6 @@ class MMFBert(Pythia):
             deterministic=deterministic,
         )
         text_total = pooled
-        image_total, _ = self._feature_embedding_total(
-            "image", sample_list, text_total, deterministic
-        )
-        joint = self._combine(image_total, text_total, deterministic)
 
         ds = sample_list.get("dataset_name", "unknown")
         dt = sample_list.get("dataset_type", "train")
@@ -71,7 +67,7 @@ class MMFBert(Pythia):
                 lp = nn.log_softmax(logits.astype(jnp.float32), -1)
                 picked = jnp.take_along_axis(lp, safe[..., None], -1)[..., 0]
                 losses = {
-                    f"{ds}/{dt}/masked_lm_loss": -jnp.sum(
+                    f"{dt}/{ds}/masked_lm_loss": -jnp.sum(
                         jnp.where(valid, picked, 0.0)
                     ) / jnp.maximum(jnp.sum(valid), 1)
                 }
@@ -80,7 +76,7 @@ class MMFBert(Pythia):
                     rel = nn.Dense(2, name="seq_relationship")(pooled)
                     output["seq_relationship_score"] = rel
                     rl = nn.log_softmax(rel.astype(jnp.float32), -1)
-                    losses[f"{ds}/{dt}/next_sentence_loss"] = -jnp.mean(
+                    losses[f"{dt}/{ds}/next_sentence_loss"] = -jnp.mean(
                         jnp.take_along_axis(
                             rl, is_next.astype(jnp.int32)[:, None], 1
                         )
@@ -111,5 +107,12 @@ class MMFBert(Pythia):
             n = c.get("num_labels", 3 if head == "visual_entailment" else 2)
             return {"scores": nn.Dense(n, name="ve_classifier")(x)}
 
+        # pythia-style fusion only for the classification fall-through —
+        # the dedicated heads above never consume it, and building it
+        # there would create dead parameters in checkpoints/optimizer
+        image_total, _ = self._feature_embedding_total(
+            "image", sample_list, text_total, deterministic
+        )
+        joint = self._combine(image_total, text_total, deterministic)
         scores = self._classify(joint, deterministic)
         return {"scores": scores}

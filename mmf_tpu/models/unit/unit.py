@@ -143,6 +143,9 @@ class UniT(BaseModel):
                 "num_attention_heads": c.get("num_attention_heads", 8),
                 "intermediate_size": c.get("intermediate_size", hidden * 4),
                 "hidden_dropout_prob": c.get("dropout", 0.1),
+                # DETR uses ONE dropout value for FFN and attention probs
+                # (reference models/unit/transformer.py MultiheadAttention)
+                "attention_probs_dropout_prob": c.get("dropout", 0.1),
                 "vocab_size": c.get("vocab_size", 30522),
                 "dtype": c.get("dtype", "float32"),
             }

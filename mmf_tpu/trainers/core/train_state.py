@@ -90,9 +90,14 @@ def make_train_step(
         else:
             output = model_apply(variables, batch_in, True, rngs=rngs)
             new_vars = {}
-        # model-internal losses (pretraining heads) + registered losses
-        losses = dict(output.get("losses", {}))
-        losses.update(losses_fn(batch_in, output))
+        # model-provided losses take full precedence: when the model
+        # returns "losses", NO registered-loss calculation runs — the
+        # reference contract (base_model.py:321-335), which also lets
+        # caption decoding return a dummy loss with no "scores" field
+        if "losses" in output:
+            losses = dict(output["losses"])
+        else:
+            losses = dict(losses_fn(batch_in, output))
         reported = {k: output[k] for k in report_fields if k in output}
         total = sum(jnp.mean(v) for v in losses.values())
         return total / update_frequency, (losses, new_vars, reported)
@@ -178,15 +183,19 @@ def make_eval_step(model_apply: Callable, losses_fn: Optional[Callable] = None,
                    meta: Optional[Dict[str, Any]] = None) -> Callable:
     meta = meta or {}
 
-    def eval_step(variables, batch):
+    def eval_step(variables, batch, rng=None):
         batch_in = dict(batch)
         batch_in.update(meta)
-        output = model_apply(variables, batch_in, False)
+        # "sampling" rng reaches stochastic decoders (BUTD nucleus
+        # sampling); the trainer passes a fresh fold each batch
+        rngs = {"sampling": rng} if rng is not None else None
+        output = model_apply(variables, batch_in, False, rngs=rngs)
         if losses_fn is not None:
             output = dict(output)
-            losses = dict(output.get("losses", {}))
-            losses.update(losses_fn(batch_in, output))
-            output["losses"] = losses
+            # model-provided losses take precedence (reference
+            # base_model.py:321-335) — see loss_for_grads above
+            if "losses" not in output:
+                output["losses"] = dict(losses_fn(batch_in, output))
         return output
 
     return eval_step

@@ -236,7 +236,11 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             for x in jax.tree_util.tree_leaves(variables.get("params", {}))
         )
         logger.info(f"Model initialized: {int(n_params):,} parameters")
-        self.train_state = create_train_state(variables, self.tx, self._rng)
+        # the key handed to TrainState is donated with the state on every
+        # step — keep a separate stream for host-side uses (eval sampling)
+        # or fold_in on self._rng hits a deleted buffer
+        train_rng, self._rng = jax.random.split(self._rng)
+        self.train_state = create_train_state(variables, self.tx, train_rng)
         if self._pending_opt_state is not None:
             self.set_opt_state(self._pending_opt_state)
             self._pending_opt_state = None
@@ -287,7 +291,7 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         key = (meta.get("dataset_name", ""), meta.get("dataset_type", "val"))
         if key not in self._eval_steps:
             step = make_eval_step(
-                lambda v, b, train: self.model.apply(v, b, train),
+                lambda v, b, train, **kw: self.model.apply(v, b, train, **kw),
                 self.losses,
                 meta=meta,
             )
@@ -462,7 +466,15 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             self._ensure_state(batch)
             device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
             eval_fn = self._get_eval_step(meta)
-            output = eval_fn(self.train_state.variables, device_batch)
+            self._eval_batch_counter = getattr(
+                self, "_eval_batch_counter", 0
+            ) + 1
+            sample_rng = jax.random.fold_in(
+                self._rng, self._eval_batch_counter
+            )
+            output = eval_fn(
+                self.train_state.variables, device_batch, sample_rng
+            )
 
             output = jax.device_get(output)
             output["losses"] = {
@@ -485,6 +497,13 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             moved_report = report
             if combined_report is None:
                 combined_report = moved_report
+            elif torchmetrics is not None and not need_predictions:
+                # streaming metrics consumed this batch already — skip the
+                # O(num_samples) field accumulation, keep loss bookkeeping
+                combined_report.accumulate_tensor_fields_and_loss(
+                    moved_report, set()
+                )
+                combined_report.batch_size += moved_report.batch_size
             else:
                 combined_report.accumulate_tensor_fields_and_loss(
                     moved_report, self.metrics_params
@@ -532,8 +551,16 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                 self._ensure_state(batch)
                 device_batch = mesh_lib.shard_batch(batch.pytree(), self.mesh)
                 eval_fn = self._get_eval_step(meta)
+                self._eval_batch_counter = getattr(
+                    self, "_eval_batch_counter", 0
+                ) + 1
+                sample_rng = jax.random.fold_in(
+                    self._rng, self._eval_batch_counter
+                )
                 output = jax.device_get(
-                    eval_fn(self.train_state.variables, device_batch)
+                    eval_fn(
+                        self.train_state.variables, device_batch, sample_rng
+                    )
                 )
                 report = Report(batch, output).to_numpy()
                 true_bs = getattr(batch, "_true_batch_size", None)

@@ -346,3 +346,46 @@ def test_butd_in_jit_nucleus_sampling():
     # no rngs provided still works (fixed fallback key)
     out3 = model.apply(variables, batch, False)
     assert out3["captions"].shape == (B, 5)
+
+
+def test_butd_beam_eval_with_configured_caption_loss():
+    """Model-provided losses must take precedence over registered losses
+    (reference base_model.py:321-335): the in-jit beam output has
+    'captions' + dummy loss and NO 'scores', so a configured
+    caption_cross_entropy must be skipped, not crash."""
+    from mmf_tpu.modules.losses import Losses
+    from mmf_tpu.trainers.core.train_state import make_eval_step
+
+    _register_dataset_meta()
+    mc = omega.create({
+        "model_data_dir": "",
+        "embedding_dim": 16,
+        "max_length": 5,
+        "text_vocab_size": 50,
+        "classifier": {"type": "language_decoder",
+                       "params": {"dropout": 0.0, "hidden_dim": 12,
+                                  "feature_dim": 64, "fc_bias_init": 0}},
+        "attention": {"params": {"attention_dim": 12}},
+        "image_feature_dim": 64,
+        "image_feature_encodings": [
+            {"type": "default", "params": {"in_dim": 64}}],
+        "inference": {"type": "beam_search",
+                      "params": {"beam_length": 2, "sum_threshold": 0.5}},
+    })
+    model = registry.get_model_class("butd")(config=mc)
+    rng = np.random.RandomState(0)
+    batch = _vqa_batch()
+    batch["text"] = jnp.asarray(rng.randint(0, 50, (B, 5)))
+    batch["targets"] = jnp.asarray(rng.randint(0, 50, (B, 5)))
+    batch["caption_len"] = jnp.asarray([5, 4])
+    variables = model.init({"params": RNG, "dropout": RNG}, batch, True)
+
+    losses = Losses([{"type": "caption_cross_entropy"}])
+    step = make_eval_step(
+        lambda v, b, train, **kw: model.apply(v, b, train, **kw),
+        losses, meta={"dataset_name": "coco", "dataset_type": "val"},
+    )
+    out = step(variables, dict(batch))
+    assert "captions" in out
+    assert any("dummy_loss" in k for k in out["losses"])
+    assert not any("caption_cross_entropy" in k for k in out["losses"])
