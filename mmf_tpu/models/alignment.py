@@ -75,14 +75,29 @@ class CMSharedTransformer(BaseModel):
             image_feats = image_enc(sample_list["image"], not deterministic)
         image_proj = nn.Dense(final_dim, name="image_projection")(image_feats)
 
-        # shared transformer layer over each modality separately
-        shared = TransformerLayer(tcfg, name="shared_transformer")
+        # sine position embedding on the image grid (reference
+        # alignment.py:24-72 PositionEmbeddingSine over the 7x7 feature
+        # map) when the token count is a square grid
+        k = image_proj.shape[1]
+        side = int(round(float(k) ** 0.5))
+        if side * side == k:
+            from mmf_tpu.models.unit.unit import sine_position_embedding
+
+            pos = sine_position_embedding(side, side, final_dim)
+            image_proj = image_proj + pos[None].astype(image_proj.dtype)
+
+        # shared transformer stack over each modality separately
+        # (reference alignment.py:138-143: 2-layer TransformerEncoder)
+        num_shared = c.get("num_shared_layers", 2)
         text_bias = None
         if input_mask is not None:
             text_bias = make_attention_bias(input_mask, tcfg.dtype)
-        text_out = shared(text_proj, bias=text_bias,
-                          deterministic=deterministic)
-        image_out = shared(image_proj, deterministic=deterministic)
+        text_out, image_out = text_proj, image_proj
+        for i in range(num_shared):
+            shared = TransformerLayer(tcfg, name=f"shared_transformer_{i}")
+            text_out = shared(text_out, bias=text_bias,
+                              deterministic=deterministic)
+            image_out = shared(image_out, deterministic=deterministic)
 
         text_pooled = AttnPool1d(final_dim, 1, name="text_pool")(
             text_out, text_out, deterministic=deterministic
