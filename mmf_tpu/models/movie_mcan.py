@@ -61,6 +61,25 @@ class MoVieMcan(BaseModel):
         # grid features: [B, C, H, W] from image or flattened features
         if "image" in sample_list:
             feature = sample_list["image"]
+            enc_cfg = c.get("image_feature_encodings", None)
+            if enc_cfg is not None and feature.ndim == 4 and (
+                feature.shape[1] == 3 or feature.shape[-1] == 3
+            ):
+                # raw images: run the configured grid encoder (reference
+                # movie_mcan.py:70-84 _init_feature_encoders) and fold
+                # the [B, N, D] tokens back onto their square grid
+                from mmf_tpu.modules.encoders import build_image_encoder
+
+                if isinstance(enc_cfg, (list, tuple)):
+                    enc_cfg = enc_cfg[0]
+                encoder = build_image_encoder(
+                    dict(enc_cfg), direct_features=False
+                )
+                tokens = encoder(feature, train)
+                b, n, d = tokens.shape
+                side = int(round(float(n) ** 0.5))
+                feature = tokens[:, : side * side].transpose(0, 2, 1)
+                feature = feature.reshape(b, d, side, side)
         else:
             feature = sample_list["image_feature_0"]
             if feature.ndim == 3:  # [B, K, C] -> [B, C, k, k]

@@ -338,3 +338,53 @@ def test_mmf_bert_heads():
              training_head_type="visual_entailment")))
     v3 = m3.init(RNG, batch, False)
     assert m3.apply(v3, batch, False)["scores"].shape == (B, 3)
+
+
+def test_movie_mcan_features_and_raw_image():
+    """MoVie+MCAN runs on flattened grid features, and with a configured
+    grid encoder on raw images (reference movie_mcan.py:70-84)."""
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 9)
+    mc = omega.create({
+        "text_embeddings": {"params": {"hidden_dim": 16,
+                                       "embedding_dim": 300,
+                                       "num_attn": 2, "num_layers": 1,
+                                       "dropout": 0.0, "num_attn_pool": 1,
+                                       "num_feat": 2}},
+        "image_feature_embeddings": {"params": {"hidden_dim": 16,
+                                                "cond_dim": 32,
+                                                "num_attn": 2,
+                                                "num_layers": 1,
+                                                "dropout": 0.0,
+                                                "cbn_num_layers": 1}},
+        "text_vocab_size": 60,
+        "dtype": "float32",
+    })
+    m = registry.get_model_class("movie_mcan")(config=mc)
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": jnp.asarray(rng.randint(0, 60, (B, 7))),
+        "text_mask": jnp.ones((B, 7), jnp.float32),
+        # 16 tokens -> 4x4 grid of 24-dim features
+        "image_feature_0": jnp.asarray(
+            rng.randn(B, 16, 24).astype(np.float32)),
+        "dataset_name": "vqa2", "dataset_type": "train",
+    }
+    v = m.init({"params": RNG, "dropout": RNG}, batch, False)
+    out = m.apply(v, batch, False)
+    assert out["scores"].shape == (B, 9)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+    # raw image + configured grid encoder
+    mc2 = omega.create(dict(mc, image_feature_encodings=[
+        {"type": "torchvision_resnet",
+         "params": {"name": "resnet18", "num_output_features": -1}}]))
+    m2 = registry.get_model_class("movie_mcan")(config=mc2)
+    batch2 = dict(batch)
+    batch2.pop("image_feature_0")
+    batch2["image"] = jnp.asarray(
+        rng.randn(B, 3, 64, 64).astype(np.float32))
+    v2 = m2.init({"params": RNG, "dropout": RNG}, batch2, False)
+    out2 = m2.apply(v2, batch2, False)
+    assert out2["scores"].shape == (B, 9)
