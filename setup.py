@@ -13,7 +13,8 @@ setup(
     packages=find_packages(include=["mmf_tpu", "mmf_tpu.*", "tools",
                                     "tools.*"]),
     include_package_data=True,
-    package_data={"mmf_tpu": ["configs/**/*.yaml", "utils/phoc/src/*.c"]},
+    package_data={"mmf_tpu": ["configs/**/*.yaml", "utils/phoc/src/*.c",
+                          "utils/native/src/*.c", "utils/native/src/*.cc"]},
     python_requires=">=3.10",
     install_requires=[
         "jax", "flax", "optax", "orbax-checkpoint", "numpy", "pyyaml",
