@@ -424,6 +424,16 @@ class ViLBERT(BaseModel):
                 losses[f"{dt}/{ds}/masked_img_loss"] = jnp.sum(
                     kld * mask
                 ) / jnp.maximum(jnp.sum(mask), 1.0)
+            # ITM score over the fused pooled pair (reference
+            # vilbert.py:877-885: sum or mul fusion + dropout; the ITM
+            # loss is commented out in the reference, so only the score
+            # is produced — the head's weights stay convertible)
+            fusion = c.get("fusion_method", "mul")
+            fused = (pooled_t + pooled_v) if fusion == "sum" \
+                else (pooled_t * pooled_v)
+            fused = nn.Dropout(0.1)(fused, deterministic)
+            seq_rel = nn.Dense(2, name="bi_seq_relationship")(fused)
+            output["seq_relationship_score"] = seq_rel
             output["scores"] = t_logits.reshape(
                 -1, c.get("vocab_size", 30522)
             )
