@@ -248,6 +248,13 @@ class VisualBERT(BaseModel):
             ) / jnp.maximum(jnp.sum(valid), 1)
             dataset_name = sample_list.get("dataset_name", "unknown")
             dataset_type = sample_list.get("dataset_type", "train")
+            # NSP score from BertPreTrainingHeads (reference
+            # visual_bert.py:268-270 self.cls returns it; no loss is
+            # attached upstream, but the head's weights live in zoo
+            # checkpoints and need a conversion target)
+            output_dict["seq_relationship_score"] = nn.Dense(
+                2, name="seq_relationship"
+            )(pooled_output)
             output_dict["scores"] = logits.reshape(-1, cfg.vocab_size)
             output_dict["losses"] = {
                 f"{dataset_type}/{dataset_name}/masked_lm_loss": masked_lm_loss
