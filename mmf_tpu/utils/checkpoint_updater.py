@@ -250,6 +250,9 @@ def convert_torch_lstm_weights(
 # onto our flax tree (models/vilbert.py). Patterns are unanchored so the
 # same map works under wrapper prefixes.
 VILBERT_KEY_MAP = {
+    # pretraining ITM head (reference vilbert.py:865 bi_seq_relationship
+    # lives under cls.)
+    r"cls\.bi_seq_relationship": "bi_seq_relationship",
     r"bert\.encoder\.layer\.(\d+)\.attention\.self\.": r"bert.layer_\1.",
     r"bert\.encoder\.layer\.(\d+)\.attention\.output\.dense":
         r"bert.layer_\1.attention_output_dense",
@@ -322,7 +325,13 @@ MMBT_KEY_MAP = {
 
 
 # per-model maps the convert CLI layers on top of the HF-BERT base map
+VISUAL_BERT_KEY_MAP = {
+    # NSP head: torch key cls.seq_relationship -> top-level module here
+    r"cls\.seq_relationship": "seq_relationship",
+}
+
 MODEL_KEY_MAPS: Dict[str, Dict[str, str]] = {
+    "visual_bert": VISUAL_BERT_KEY_MAP,
     "vilbert": VILBERT_KEY_MAP,
     "mmbt": MMBT_KEY_MAP,
     "vilt": HF_VIT_KEY_MAP,
