@@ -60,11 +60,9 @@ class HatefulMemesFeaturesDataset(MMFDataset):
             current_sample.update(processed_text)
 
         current_sample.id = np.int32(int(sample_info["id"]))
-        features = self.features_db.get(sample_info)
-        if hasattr(self, "transformer_bbox_processor"):
-            features["image_info_0"] = self.transformer_bbox_processor(
-                features["image_info_0"]
-            )
+        features = self._process_feature_info(
+            self.features_db.get(sample_info)
+        )
         current_sample.update(features)
 
         fg_dataset_type = self.config.get("fg_dataset_type", None)

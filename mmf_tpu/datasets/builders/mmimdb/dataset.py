@@ -43,10 +43,7 @@ class MMIMDbFeaturesDataset(_MMIMDbBase):
             "config's 'use_features' must be true to use feature dataset")
 
     def _add_visual(self, idx, sample):
-        features = self.features_db[idx]
-        if hasattr(self, "transformer_bbox_processor"):
-            features["image_info_0"] = self.transformer_bbox_processor(
-                features["image_info_0"])
+        features = self._process_feature_info(self.features_db[idx])
         sample.update(features)
         return sample
 

@@ -25,10 +25,8 @@ class NLVR2Dataset(VQA2Dataset):
             identifier = "-".join(sample_info["identifier"].split("-")[:-1])
             for img_key in ("img0", "img1"):
                 sample_info["feature_path"] = f"{identifier}-{img_key}.npy"
-                features = self.features_db.get(sample_info)
-                if hasattr(self, "transformer_bbox_processor"):
-                    features["image_info_0"] = self.transformer_bbox_processor(
-                        features["image_info_0"])
+                features = self._process_feature_info(
+                    self.features_db.get(sample_info))
                 img = Sample()
                 img.update(features)
                 current_sample[img_key] = img

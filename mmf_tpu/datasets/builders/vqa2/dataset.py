@@ -71,11 +71,9 @@ class VQA2Dataset(MMFDataset):
             )
 
         if self._use_features:
-            features = self.features_db[idx]
-            if hasattr(self, "transformer_bbox_processor"):
-                features["image_info_0"] = self.transformer_bbox_processor(
-                    features["image_info_0"]
-                )
+            features = self._process_feature_info(
+                self.features_db[idx]
+            )
             current_sample.update(features)
         else:
             image_path = sample_info["image_name"] + ".jpg"

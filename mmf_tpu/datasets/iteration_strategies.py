@@ -31,7 +31,9 @@ class IterationStrategy:
 
     @property
     def should_exhaust_all_iterators(self) -> bool:
-        return False
+        # eval loaders opt in via config: exhausted datasets then finish
+        # the epoch instead of being reignited forever
+        return bool((self.config or {}).get("exhaust_all", False))
 
     def _check_not_epoch_training(self):
         if (self.config or {}).get("skip_epoch_check", False):

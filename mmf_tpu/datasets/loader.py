@@ -41,11 +41,23 @@ class EpochSampler:
             order = rng.permutation(self.dataset_size)
         else:
             order = np.arange(self.dataset_size)
+        # pad to a multiple of num_replicas by wrapping (torch
+        # DistributedSampler semantics): every rank yields the SAME
+        # number of indices, or multi-host collectives desynchronize
+        # when one rank produces an extra batch
+        total = self._padded_size()
+        if total > order.shape[0]:
+            extra = total - order.shape[0]
+            order = np.concatenate([order, order[:extra]])
         # shard: rank takes every num_replicas-th element
         return iter(order[self.rank :: self.num_replicas].tolist())
 
+    def _padded_size(self) -> int:
+        r = self.num_replicas
+        return ((self.dataset_size + r - 1) // r) * r
+
     def __len__(self) -> int:
-        return self.dataset_size // self.num_replicas
+        return self._padded_size() // self.num_replicas
 
 
 class DataLoader:
@@ -119,6 +131,19 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error_holder = []
+        # set when the consumer abandons the iterator (GeneratorExit from
+        # a `break`, or the multi-loader reigniting an exhausted dataset)
+        # so the producer never stays blocked forever on a full queue
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -127,25 +152,38 @@ class DataLoader:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     futures = []
                     for indices in self._batches_of_indices():
+                        if stop.is_set():
+                            break
                         futures.append(pool.submit(self._load_batch, indices))
                         # bound in-flight futures
                         while len(futures) >= self.prefetch:
-                            q.put(futures.pop(0).result())
+                            if not _put(futures.pop(0).result()):
+                                break
                     for f in futures:
-                        q.put(f.result())
+                        if not _put(f.result()):
+                            f.cancel()
             except Exception as e:  # propagate to consumer
                 error_holder.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked producer can reach the stop check
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
         if error_holder:
             raise error_holder[0]
 

@@ -44,16 +44,23 @@ class MMFDataset(BaseDataset):
             self.config, features_path, annotation_db=self.annotation_db
         )
 
+
+    def _process_feature_info(self, features):
+        """Run the bbox geometry processor over image_info_0 when
+        configured — the one shared implementation for every dataset
+        (the processor returns a copy; see TransformerBboxProcessor)."""
+        if hasattr(self, "transformer_bbox_processor"):
+            features["image_info_0"] = self.transformer_bbox_processor(
+                features["image_info_0"]
+            )
+        return features
+
     def add_masked_features(self, idx, sample):
         """Shared masked-pretraining feature path: fetch region features,
         run the bbox geometry processor, and (when
         ``use_image_feature_masks``) swap in masked features + labels.
         Used by every masked_* dataset."""
-        features = self.features_db[idx]
-        if hasattr(self, "transformer_bbox_processor"):
-            features["image_info_0"] = self.transformer_bbox_processor(
-                features["image_info_0"]
-            )
+        features = self._process_feature_info(self.features_db[idx])
         if self.config.get("use_image_feature_masks", False):
             masked_feat, region_labels = self.masked_region_processor(
                 features["image_feature_0"]

@@ -100,15 +100,28 @@ class MultiDataLoader:
         return self
 
     def __next__(self) -> SampleList:
+        if self.num_datasets == 0:
+            # every dataset skipped this split ("This dataset won't be
+            # used"): an empty epoch, not a crash
+            raise StopIteration
         try:
             next_batch = next(self.current_iterator)
         except StopIteration:
             if self.iteration_strategy.should_exhaust_all_iterators:
                 self._finished_iterators[self.current_dataset_name] = 1
-                if len(self._finished_iterators) == self.num_datasets:
-                    raise
-                self.change_dataloader()
-                next_batch = next(self.current_iterator)
+                # keep rotating: a freshly chosen loader may itself be at
+                # its end (unequal dataset sizes) — mark and move on
+                while True:
+                    if len(self._finished_iterators) == self.num_datasets:
+                        raise
+                    self.change_dataloader()
+                    try:
+                        next_batch = next(self.current_iterator)
+                        break
+                    except StopIteration:
+                        self._finished_iterators[
+                            self.current_dataset_name
+                        ] = 1
             else:
                 self._iterators[self.current_dataset_name] = iter(
                     self.current_loader

@@ -81,6 +81,11 @@ class MultiDataModule:
     def _build_multi_dataloader(self, dataset_type: str = "train") -> MultiDataLoader:
         loaders = {}
         for key, dm in self.datamodules.items():
+            # datasets without this split load as None ("This dataset
+            # won't be used"); honor that instead of crashing in the
+            # sampler on len(None)
+            if getattr(dm, f"{dataset_type}_dataset", "missing") is None:
+                continue
             loader = getattr(dm, f"{dataset_type}_dataloader")()
             if not hasattr(loader, "dataset"):
                 loader.dataset = getattr(dm, f"{dataset_type}_dataset", None)
@@ -88,15 +93,16 @@ class MultiDataModule:
         if dataset_type == "train":
             strategy = _build_iteration_strategy(self.config, loaders)
         else:
-            # eval visits datasets sequentially (no epoch-check: the strategy
-            # here only rotates loaders after each exhausts)
+            # eval rotates loaders and EXHAUSTS each exactly once
+            # (exhaust_all; without it RoundRobin reignites finished
+            # iterators and a multi-dataset eval epoch never ends)
             if len(loaders) <= 1:
                 strategy = iteration_strategies.ConstantIterationStrategy(
                     {}, loaders
                 )
             else:
                 strategy = iteration_strategies.RoundRobinIterationStrategy(
-                    {"skip_epoch_check": True}, loaders
+                    {"skip_epoch_check": True, "exhaust_all": True}, loaders
                 )
         return MultiDataLoader(loaders, strategy)
 

@@ -223,36 +223,84 @@ class _RobertaMixin:
     _PAD_TOKEN_ID = 1
 
     def _build_tokenizer(self, tokenizer_config):
+        params = dict(tokenizer_config.get("params", {}) or {})
+        # offline support mirrors the BERT path: local vocab/merges files
+        # first, then cached weights, then the network
+        vocab_file = params.pop("vocab_file", None) or tokenizer_config.get(
+            "vocab_file", None
+        )
+        merges_file = params.pop("merges_file", None) or tokenizer_config.get(
+            "merges_file", None
+        )
+        if vocab_file is not None and os.path.exists(vocab_file) and \
+                merges_file is not None and os.path.exists(merges_file):
+            from transformers import RobertaTokenizerFast
+
+            return RobertaTokenizerFast(
+                vocab_file=vocab_file, merges_file=merges_file, **params
+            )
         from transformers import AutoTokenizer
 
-        return AutoTokenizer.from_pretrained(
-            tokenizer_config.get("type", "roberta-base"),
-            **(tokenizer_config.get("params", {}) or {}),
-        )
+        name = tokenizer_config.get("type", "roberta-base")
+        try:
+            return AutoTokenizer.from_pretrained(
+                name, local_files_only=True, **params
+            )
+        except OSError:
+            return AutoTokenizer.from_pretrained(name, **params)
 
 
 @registry.register_processor("masked_roberta_tokenizer")
 class MaskedRobertaTokenizer(_RobertaMixin, MaskedTokenProcessor):
-    """(reference bert_processors.py:248-318) — roberta has no segment ids."""
+    """(reference bert_processors.py:248-318) — roberta has no segment ids
+    and encodes pairs as ``<s> A </s> </s> B </s>`` (double separator,
+    the format pretrained RoBERTa checkpoints expect)."""
 
     def _convert_to_indices(self, tokens_a, tokens_b=None, probability=0.15):
-        out = super()._convert_to_indices(tokens_a, tokens_b, probability)
-        out["segment_ids"] = np.zeros_like(out["segment_ids"])
-        return out
+        tokens_a, label_a = self._random_word(
+            tokens_a, probability=probability
+        )
+        tokens = [self._CLS_TOKEN] + tokens_a + [self._SEP_TOKEN]
+        lm_label_ids = [-1] + label_a + [-1]
+        if tokens_b:
+            tokens_b, label_b = self._random_word(
+                tokens_b, probability=probability
+            )
+            assert len(tokens_b) > 0
+            tokens += [self._SEP_TOKEN] + tokens_b + [self._SEP_TOKEN]
+            lm_label_ids += [-1] + label_b + [-1]
+
+        input_ids = self._convert_tokens_to_ids(tokens)
+        input_mask = [1] * len(input_ids)
+        segment_ids = [0] * len(input_ids)
+        while len(input_ids) < self._max_seq_length:
+            input_ids.append(self._PAD_TOKEN_ID)
+            input_mask.append(0)
+            segment_ids.append(0)
+            lm_label_ids.append(-1)
+
+        return {
+            "input_ids": np.asarray(input_ids, np.int64),
+            "input_mask": np.asarray(input_mask, np.int64),
+            "segment_ids": np.asarray(segment_ids, np.int64),
+            "lm_label_ids": np.asarray(lm_label_ids, np.int64),
+            "tokens": tokens,
+        }
 
 
 @registry.register_processor("roberta_tokenizer")
 class RobertaTokenizer(_RobertaMixin, BertTokenizer):
-    """(reference bert_processors.py:319-344)"""
+    """(reference bert_processors.py:319-344) — shares the masked
+    tokenizer's double-separator pair encoding with mask prob 0."""
 
     def __init__(self, config, *args, **kwargs):
         super().__init__(config, *args, **kwargs)
         self._probability = config.get("mask_probability", 0)
 
     def _convert_to_indices(self, tokens_a, tokens_b=None, probability=0.0):
-        out = super()._convert_to_indices(tokens_a, tokens_b, probability)
-        out["segment_ids"] = np.zeros_like(out["segment_ids"])
-        return out
+        return MaskedRobertaTokenizer._convert_to_indices(
+            self, tokens_a, tokens_b, probability
+        )
 
 
 @registry.register_processor("multi_sentence_roberta_tokenizer")

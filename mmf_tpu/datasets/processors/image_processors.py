@@ -38,7 +38,14 @@ def _resize_chw(arr: np.ndarray, size) -> np.ndarray:
     from PIL import Image
 
     if isinstance(size, int):
-        size = (size, size)
+        # torchvision Resize(int) semantics: resize the SHORTEST side to
+        # `size`, preserving aspect ratio (a square resize here would
+        # geometrically distort every image vs the reference pipeline)
+        _, ih, iw = arr.shape[0], arr.shape[1], arr.shape[2]
+        if ih <= iw:
+            size = (size, max(1, int(round(size * iw / ih))))
+        else:
+            size = (max(1, int(round(size * ih / iw))), size)
     h, w = size
     chans = []
     for c in range(arr.shape[0]):

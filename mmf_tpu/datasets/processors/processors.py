@@ -769,8 +769,11 @@ class TransformerBboxProcessor(BaseProcessor):
         self.image_height_key = config.get("image_height_key", "image_height")
 
     def __call__(self, item):
-        # the item IS the info dict (image_info_0); the reference mutates
-        # and returns it with bbox replaced by [x1,y1,x2,y2,area] normalized
+        # the item IS the info dict (image_info_0). Returns a SHALLOW COPY
+        # with bbox replaced by [x1,y1,x2,y2,area] normalized — with
+        # fast_read the FeaturesDatabase hands out one cached dict per
+        # image shared by every question; mutating it in place would
+        # re-normalize already-normalized coords on each reuse
         image_w = float(item[self.image_width_key])
         image_h = float(item[self.image_height_key])
         bbox = np.asarray(item[self.bbox_key], np.float32)
@@ -785,8 +788,9 @@ class TransformerBboxProcessor(BaseProcessor):
         image_location[:, 1] /= image_h
         image_location[:, 2] /= image_w
         image_location[:, 3] /= image_h
-        item["bbox"] = image_location
-        return item
+        out = dict(item)
+        out["bbox"] = image_location
+        return out
 
 
 @registry.register_processor("multi_class_from_file")
