@@ -219,13 +219,16 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         init_rng, dropout_rng, self._rng = jax.random.split(self._rng, 3)
         batch_in = dict(pytree)
         batch_in.update(meta)
-        variables = self.model.init(
-            {"params": init_rng, "dropout": dropout_rng}, batch_in, False
-        )
-        variables = jax.device_get(variables)
         if self._pending_variables is not None:
+            # resuming: the checkpoint supplies every parameter — don't
+            # materialize a full random init only to throw it away
             variables = self._pending_variables
             self._pending_variables = None
+        else:
+            variables = self.model.init(
+                {"params": init_rng, "dropout": dropout_rng}, batch_in, False
+            )
+            variables = jax.device_get(variables)
         # replicated when the mesh's model axis is 1; tensor-parallel
         # kernel shardings otherwise (parallel/mesh.py rules)
         variables = jax.device_put(
@@ -433,9 +436,15 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
     def _run_validation(self) -> bool:
         self._fire("on_validation_start")
         report, meter = self.evaluation_loop("val")
-        stop = self.early_stop_callback.on_validation_end(meter=meter)
-        self.logistics_callback.on_validation_end(meter=meter)
-        return bool(stop)
+        # fan the hook out to EVERY callback (user callbacks included —
+        # reference callback_hook.py); early stopping's return value is
+        # the stop decision
+        stop = False
+        for cb in getattr(self, "callbacks", []):
+            result = cb.on_validation_end(meter=meter)
+            if cb is self.early_stop_callback:
+                stop = bool(result)
+        return stop
 
     # ------------------------------------------------------------------
     # evaluation (reference core/evaluation_loop.py:18-177)
@@ -522,6 +531,18 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             combined_report.metrics = {
                 f"{dataset_type}_{k}": np.float32(v) for k, v in scalars.items()
             }
+            if need_predictions:
+                # set-level prediction metrics (e.g. detection mAP) were
+                # accumulated every batch — compute them too instead of
+                # silently discarding the configured metric
+                if pred_dataset is not None and hasattr(
+                    pred_dataset, "on_prediction_end"
+                ):
+                    predictions = pred_dataset.on_prediction_end(predictions)
+                combined_report["__prediction_report__"] = predictions
+                combined_report.metrics.update(
+                    self.metrics(combined_report, combined_report)
+                )
             meter.update_from_report(combined_report, should_update_loss=False)
         elif combined_report is not None and len(self.metrics.metrics) > 0:
             combined_report["dataset_name"] = meta.get("dataset_name", "unknown")

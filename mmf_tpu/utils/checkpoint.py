@@ -237,11 +237,15 @@ class Checkpoint:
         loaded_keys = 0
         for attr, pretrained_attr in mapping.items():
             for own_key in list(own.keys()):
-                if f".{attr}." not in f".{own_key}." and not own_key.startswith(
-                    f"{attr}."
-                ) and attr not in own_key:
+                # match attr only on dotted-path segment boundaries — a
+                # bare substring test would let 'pooler' rewrite
+                # 't_pooler'/'v_pooler' and silently load wrong tensors
+                dotted = f".{own_key}."
+                needle = f".{attr}."
+                if needle not in dotted:
                     continue
-                candidate = own_key.replace(attr, pretrained_attr, 1)
+                candidate = dotted.replace(needle, f".{pretrained_attr}.", 1)
+                candidate = candidate[1:-1]
                 candidate = format_fn(candidate)
                 if candidate in incoming and np.shape(own[own_key]) == np.shape(
                     incoming[candidate]

@@ -38,16 +38,36 @@ class EarlyStopping:
         self.activated = False
         self.metric = self.monitored_metric
 
+    # action codes broadcast from main so EVERY rank runs the same
+    # checkpoint calls — Checkpoint.save/restore/finalize contain
+    # cross-host synchronize() barriers, and entering them on rank 0
+    # only deadlocks multi-host runs
+    _ACT_NONE, _ACT_SAVE, _ACT_SAVE_BEST, _ACT_STOP = 0, 1, 2, 3
+
     def __call__(self, update, iteration, meter) -> bool:
         """Returns True when training should stop."""
-        if is_main():
-            stop = self._check(update, iteration, meter)
-        else:
-            stop = False
-        stop = bool(broadcast_scalar(1 if stop else 0, 0))
-        return stop
+        action = self._decide(update, iteration, meter) if is_main() \
+            else self._ACT_NONE
+        action = int(broadcast_scalar(action, 0))
 
-    def _check(self, update, iteration, meter) -> bool:
+        if action == self._ACT_SAVE_BEST:
+            if self.checkpoint is not None:
+                self.checkpoint.save(update, iteration, update_best=True)
+            return False
+        if action == self._ACT_SAVE:
+            if self.checkpoint is not None:
+                self.checkpoint.save(update, iteration, update_best=False)
+            return False
+        if action == self._ACT_STOP:
+            self.activated = True
+            if self.checkpoint is not None:
+                self.checkpoint.restore()
+                self.checkpoint.finalize()
+            return True
+        return False
+
+    def _decide(self, update, iteration, meter) -> int:
+        """Pure decision (no collectives); runs on the main process."""
         value = meter.meters.get(self.monitored_metric, None)
         if value is None:
             raise ValueError(
@@ -56,7 +76,7 @@ class EarlyStopping:
             )
         value = value.global_avg
         if np.isnan(value):
-            return False
+            return self._ACT_NONE
 
         improved = (
             value < self.best_monitored_value
@@ -67,20 +87,13 @@ class EarlyStopping:
             self.best_monitored_value = value
             self.best_monitored_iteration = iteration
             self.best_monitored_update = update
-            if self.checkpoint is not None:
-                self.checkpoint.save(update, iteration, update_best=True)
-        elif self.best_monitored_update + self.patience < update:
+            return self._ACT_SAVE_BEST
+        if self.best_monitored_update + self.patience < update:
             self.activated = True
             if self.should_stop:
-                if self.checkpoint is not None:
-                    self.checkpoint.restore()
-                    self.checkpoint.finalize()
-                return True
-            return False
-        else:
-            if self.checkpoint is not None:
-                self.checkpoint.save(update, iteration, update_best=False)
-        return False
+                return self._ACT_STOP
+            return self._ACT_NONE
+        return self._ACT_SAVE
 
     def is_activated(self) -> bool:
         return self.activated

@@ -73,7 +73,13 @@ def get_max_updates(config_max_updates, config_max_epochs, train_loader,
         assert (
             hasattr(train_loader, "__len__") and len(train_loader) != 0
         ), "max_epochs can't be used with IterableDatasets"
-        max_updates = int((len(train_loader) / update_frequency) * config_max_epochs)
+        # one loader batch == one optimizer update here: update_frequency
+        # splits the batch into microbatches INSIDE the jitted step
+        # (train_state.py _split_microbatches), unlike the reference where
+        # uf loader batches accumulate into one update (general.py:337-368)
+        # — so epochs convert to updates WITHOUT dividing by uf
+        del update_frequency
+        max_updates = int(len(train_loader) * config_max_epochs)
         max_epochs = config_max_epochs
     else:
         max_updates = config_max_updates

@@ -21,33 +21,16 @@ _LIB: Optional[ctypes.CDLL] = None
 _LIB_FAILED = False
 
 
-def _compile_lib() -> Optional[ctypes.CDLL]:
+def _compile_lib():
+    """Compile+load via the shared native build helper (build.py)."""
     global _LIB, _LIB_FAILED
     if _LIB is not None:
         return _LIB
     if _LIB_FAILED:
         return None
-    cache_dir = os.path.join(
-        os.path.expanduser("~"), ".cache", "mmf_tpu", "native"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, "libeditdist.so")
-    try:
-        if not os.path.exists(lib_path) or os.path.getmtime(
-            lib_path
-        ) < os.path.getmtime(_SRC):
-            for cc in ("cc", "gcc", "clang"):
-                try:
-                    subprocess.check_call(
-                        [cc, "-O2", "-shared", "-fPIC", "-o", lib_path, _SRC],
-                        stderr=subprocess.DEVNULL,
-                    )
-                    break
-                except (subprocess.CalledProcessError, FileNotFoundError):
-                    continue
-            else:
-                raise RuntimeError("no C compiler found")
-        lib = ctypes.CDLL(lib_path)
+    from mmf_tpu.utils.native.build import compile_lib
+
+    def _setup(lib):
         lib.edit_distance.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
         lib.edit_distance.restype = ctypes.c_int
         lib.anls_best.argtypes = [
@@ -57,15 +40,12 @@ def _compile_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.anls_best.restype = ctypes.c_double
-        _LIB = lib
-        return lib
-    except Exception as e:  # pragma: no cover
-        logger.warning(
-            f"editdist C extension unavailable ({e}); using python fallback"
-        )
+    lib = compile_lib(_SRC, "editdist", _setup)
+    if lib is None:
         _LIB_FAILED = True
         return None
-
+    _LIB = lib
+    return lib
 
 def _edit_distance_python(s1: str, s2: str) -> int:
     if len(s1) < len(s2):

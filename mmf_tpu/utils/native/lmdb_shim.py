@@ -22,32 +22,15 @@ _LIB_FAILED = False
 
 
 def _compile_lib() -> Optional[ctypes.CDLL]:
+    """Compile+load via the shared native build helper (build.py)."""
     global _LIB, _LIB_FAILED
     if _LIB is not None:
         return _LIB
     if _LIB_FAILED:
         return None
-    cache_dir = os.path.join(
-        os.path.expanduser("~"), ".cache", "mmf_tpu", "native"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, "liblmdbcore.so")
-    try:
-        if not os.path.exists(lib_path) or os.path.getmtime(
-            lib_path
-        ) < os.path.getmtime(_SRC):
-            for cc in ("g++", "c++", "clang++"):
-                try:
-                    subprocess.check_call(
-                        [cc, "-O2", "-shared", "-fPIC", "-o", lib_path, _SRC],
-                        stderr=subprocess.DEVNULL,
-                    )
-                    break
-                except (subprocess.CalledProcessError, FileNotFoundError):
-                    continue
-            else:
-                raise RuntimeError("no C++ compiler found")
-        lib = ctypes.CDLL(lib_path)
+    from mmf_tpu.utils.native.build import compile_lib
+
+    def _setup(lib):
         lib.lmdb_open.argtypes = [ctypes.c_char_p]
         lib.lmdb_open.restype = ctypes.c_void_p
         lib.lmdb_close.argtypes = [ctypes.c_void_p]
@@ -79,13 +62,13 @@ def _compile_lib() -> Optional[ctypes.CDLL]:
         lib.lmdb_writer_commit.argtypes = [ctypes.c_void_p]
         lib.lmdb_writer_commit.restype = ctypes.c_int
         lib.lmdb_writer_abort.argtypes = [ctypes.c_void_p]
-        _LIB = lib
-        return lib
-    except Exception as e:  # pragma: no cover - depends on toolchain
-        logger.warning(f"native lmdb core unavailable: {e}")
+
+    lib = compile_lib(_SRC, "lmdbcore", _setup, cxx=True)
+    if lib is None:
         _LIB_FAILED = True
         return None
-
+    _LIB = lib
+    return lib
 
 def available() -> bool:
     return _compile_lib() is not None

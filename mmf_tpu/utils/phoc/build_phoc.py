@@ -36,32 +36,16 @@ _BIGRAMS = [
 
 
 def _compile_lib() -> Optional[ctypes.CDLL]:
+    """Compile+load via the shared native build helper
+    (mmf_tpu/utils/native/build.py)."""
     global _LIB, _LIB_FAILED
     if _LIB is not None:
         return _LIB
     if _LIB_FAILED:
         return None
-    cache_dir = os.path.join(
-        os.path.expanduser("~"), ".cache", "mmf_tpu", "phoc"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    lib_path = os.path.join(cache_dir, "libphoc.so")
-    try:
-        if not os.path.exists(lib_path) or os.path.getmtime(
-            lib_path
-        ) < os.path.getmtime(_SRC):
-            for cc in ("cc", "gcc", "clang"):
-                try:
-                    subprocess.check_call(
-                        [cc, "-O2", "-shared", "-fPIC", "-o", lib_path, _SRC],
-                        stderr=subprocess.DEVNULL,
-                    )
-                    break
-                except (subprocess.CalledProcessError, FileNotFoundError):
-                    continue
-            else:
-                raise RuntimeError("no C compiler found")
-        lib = ctypes.CDLL(lib_path)
+    from mmf_tpu.utils.native.build import compile_lib
+
+    def _setup(lib):
         lib.phoc_build.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
         ]
@@ -73,13 +57,13 @@ def _compile_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.phoc_build_batch.restype = ctypes.c_int
-        _LIB = lib
-        return lib
-    except Exception as e:  # pragma: no cover
-        logger.warning(f"PHOC C extension unavailable ({e}); using python fallback")
+
+    lib = compile_lib(_SRC, "phoc", _setup)
+    if lib is None:
         _LIB_FAILED = True
         return None
-
+    _LIB = lib
+    return lib
 
 def _build_phoc_python(token: str) -> np.ndarray:
     """Pure-python PHOC (same construction as src/phoc.c)."""
@@ -127,7 +111,10 @@ def build_phoc(token: str) -> np.ndarray:
     """Single-word PHOC; normalizes the token like the reference wrapper
     (lowercase, strip)."""
     token = token.lower().strip()
-    token = "".join([c for c in token if c in (_UNIGRAMS + " ")])
+    # reference wrapper filters to the 36-char alphabet — spaces
+    # and punctuation are DROPPED, not passed to the kernel (which
+    # errors on unknown unigrams)
+    token = "".join([c for c in token if c in _UNIGRAMS])
     lib = _compile_lib()
     if lib is None:
         return _build_phoc_python(token)
@@ -144,7 +131,7 @@ def build_phoc(token: str) -> np.ndarray:
 def build_phoc_batch(tokens: List[str]) -> np.ndarray:
     """Vectorized batch PHOC through one C call."""
     tokens = [
-        "".join(c for c in t.lower().strip() if c in _UNIGRAMS + " ")
+        "".join(c for c in t.lower().strip() if c in _UNIGRAMS)
         for t in tokens
     ]
     lib = _compile_lib()
@@ -156,10 +143,12 @@ def build_phoc_batch(tokens: List[str]) -> np.ndarray:
         offsets[i] = len(packed)
         packed += t.encode("utf-8") + b"\x00"
     out = np.zeros((len(tokens), PHOC_DIM), np.float32)
-    lib.phoc_build_batch(
+    rc = lib.phoc_build_batch(
         packed,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         len(tokens),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    if rc != 0:  # fall back rather than return partial/zero vectors
+        return np.stack([_build_phoc_python(t) for t in tokens])
     return out

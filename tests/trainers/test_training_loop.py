@@ -129,3 +129,20 @@ def test_nan_guard(tmp_path):
     )
     with pytest.raises(RuntimeError, match="NaN"):
         trainer.train()
+
+
+def test_max_epochs_not_divided_by_update_frequency(tmp_path):
+    """One loader batch is one optimizer update here (uf splits the batch
+    into microbatches inside the step), so epochs convert to updates
+    WITHOUT dividing by uf — dividing silently trained on 1/uf of the
+    requested data."""
+    t = make_trainer(save_dir=str(tmp_path / "uf"), **{
+        "training.max_updates": "null",
+        "training.max_epochs": 2,
+        "training.update_frequency": 4,
+        "training.batch_size": 8,
+        "num_examples": 32,
+    })
+    t.train()
+    # 32 examples / batch 8 = 4 updates per epoch, x2 epochs = 8
+    assert t.num_updates == 8, t.num_updates

@@ -125,3 +125,46 @@ def test_torch_to_flax_bert_parity():
     np.testing.assert_allclose(
         np.asarray(f_pooled), t_pooled.numpy(), atol=1e-4
     )
+
+
+def test_pretrained_mapping_segment_boundary():
+    """pretrained_state_mapping must match path segments, not substrings:
+    mapping 'pooler' -> 'bert.pooler' must NOT rewrite 't_pooler'."""
+    import numpy as np
+
+    from mmf_tpu.utils.checkpoint import _flatten, _unflatten
+
+    class _FakeTrainer:
+        def __init__(self):
+            self._vars = {
+                "params": {
+                    "pooler": {"kernel": np.zeros((2, 2), np.float32)},
+                    "t_pooler": {"kernel": np.zeros((2, 2), np.float32)},
+                }
+            }
+
+        def get_variables(self):
+            return self._vars
+
+        def set_variables(self, v):
+            self._vars = v
+
+        model = type("M", (), {})()
+
+    from mmf_tpu.utils.checkpoint import Checkpoint
+
+    ckpt = Checkpoint.__new__(Checkpoint)
+    ckpt.trainer = _FakeTrainer()
+    incoming = {
+        "variables": {
+            "params": {
+                "bert": {"pooler": {"kernel": np.ones((2, 2), np.float32)}}
+            }
+        }
+    }
+    ckpt._load_pretrained_mapped(
+        incoming, {"params.pooler": "params.bert.pooler"}
+    )
+    v = ckpt.trainer.get_variables()["params"]
+    np.testing.assert_array_equal(v["pooler"]["kernel"], np.ones((2, 2)))
+    np.testing.assert_array_equal(v["t_pooler"]["kernel"], np.zeros((2, 2)))
