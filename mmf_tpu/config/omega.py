@@ -37,20 +37,26 @@ register_resolver("env", _env_resolver)
 
 
 class ConfigNode(dict):
-    """Nested dict with attribute access, struct-freeze, and interpolation."""
+    """Nested dict with attribute access, struct-freeze, and interpolation.
 
-    __slots__ = ()
+    Freeze state and the interpolation root live on the instance (slots),
+    NOT in id()-keyed module dicts — id-keyed globals both leak every
+    node ever created and can resolve a fresh node's interpolations
+    against a dead config when CPython reuses the id."""
+
+    __slots__ = ("_omega_frozen", "_omega_root", "__weakref__")
 
     def __init__(self, data: Optional[dict] = None):
         super().__init__()
-        _FROZEN[id(self)] = False
+        object.__setattr__(self, "_omega_frozen", False)
+        object.__setattr__(self, "_omega_root", None)
         if data:
             for k, v in data.items():
                 super().__setitem__(k, _wrap(v))
 
     # -- mutation guards --------------------------------------------------
     def _check_frozen(self, key):
-        if _FROZEN.get(id(self), False):
+        if self._omega_frozen:
             raise AttributeError(
                 f"Config is frozen (struct mode); cannot modify key '{key}'. "
                 "Call defrost() first."
@@ -61,6 +67,9 @@ class ConfigNode(dict):
         super().__setitem__(key, _wrap(value))
 
     def __setattr__(self, key, value):
+        if key in ConfigNode.__slots__:
+            object.__setattr__(self, key, value)
+            return
         self[key] = value
 
     def __getattr__(self, key):
@@ -74,7 +83,7 @@ class ConfigNode(dict):
     def __getitem__(self, key):
         value = super().__getitem__(key)
         if isinstance(value, str) and "${" in value:
-            return _resolve_str(value, _ROOT.get(id(self)) or self)
+            return _resolve_str(value, self._omega_root or self)
         return value
 
     def __delattr__(self, key):
@@ -92,15 +101,11 @@ class ConfigNode(dict):
         for k in super().keys():
             raw = super().__getitem__(k)
             super(ConfigNode, node).__setitem__(k, copy.deepcopy(raw, memo))
-        _reroot(node, _ROOT.get(id(self)) and node or None)
+        _reroot(node, self._omega_root and node or None)
         return node
 
     def __reduce__(self):
         return (_rebuild_confignode, (self.to_dict(),))
-
-
-_FROZEN: Dict[int, bool] = {}
-_ROOT: Dict[int, Optional[ConfigNode]] = {}
 
 
 def _rebuild_confignode(d):
@@ -121,7 +126,7 @@ def _reroot(node: ConfigNode, root: Optional[ConfigNode]):
     """Record the root for interpolation lookups on every nested node."""
     if root is None:
         root = node
-    _ROOT[id(node)] = root
+    object.__setattr__(node, "_omega_root", root)
     for k in dict.keys(node):
         v = dict.__getitem__(node, k)
         if isinstance(v, ConfigNode):
@@ -297,31 +302,32 @@ def merge_with_dotlist(cfg: ConfigNode, opts: List[str],
             else:
                 if last:
                     if strict and isinstance(cur, ConfigNode) and part not in cur \
-                            and _FROZEN.get(id(cur), False):
+                            and cur._omega_frozen:
                         raise AttributeError(f"Key '{key}' not found in config")
-                    was_frozen = _FROZEN.get(id(cur), False)
-                    _FROZEN[id(cur)] = False
+                    was_frozen = cur._omega_frozen
+                    object.__setattr__(cur, "_omega_frozen", False)
                     try:
                         cur[part] = parsed
                     finally:
-                        _FROZEN[id(cur)] = was_frozen
+                        object.__setattr__(cur, "_omega_frozen", was_frozen)
                 else:
                     if part not in cur:
-                        was_frozen = _FROZEN.get(id(cur), False)
+                        was_frozen = cur._omega_frozen
                         if strict and was_frozen:
                             raise AttributeError(f"Key '{key}' not found in config")
-                        _FROZEN[id(cur)] = False
+                        object.__setattr__(cur, "_omega_frozen", False)
                         try:
                             cur[part] = {}
                         finally:
-                            _FROZEN[id(cur)] = was_frozen
+                            object.__setattr__(cur, "_omega_frozen",
+                                               was_frozen)
                     cur = cur[part]
     _reroot(cfg, None)
     return cfg
 
 
 def set_struct(cfg: ConfigNode, value: bool):
-    _FROZEN[id(cfg)] = value
+    object.__setattr__(cfg, "_omega_frozen", value)
     for k in dict.keys(cfg):
         v = dict.__getitem__(cfg, k)
         if isinstance(v, ConfigNode):
@@ -334,7 +340,7 @@ def set_struct(cfg: ConfigNode, value: bool):
 
 def to_container(cfg: Any, resolve: bool = False, _root: Any = None) -> Any:
     if isinstance(cfg, ConfigNode):
-        root = _ROOT.get(id(cfg)) or cfg
+        root = cfg._omega_root or cfg
         if resolve:
             return {k: to_container(cfg[k], True, root) for k in dict.keys(cfg)}
         return {k: to_container(dict.__getitem__(cfg, k), False, root)
@@ -364,7 +370,7 @@ def to_yaml(cfg: Any) -> str:
 
 # dict-node convenience monkey-alike API
 def is_frozen(cfg: ConfigNode) -> bool:
-    return _FROZEN.get(id(cfg), False)
+    return bool(getattr(cfg, "_omega_frozen", False))
 
 
 class open_dict:
@@ -380,8 +386,8 @@ class open_dict:
 
     def _collect(self, node):
         if isinstance(node, ConfigNode):
-            self._states.append((node, _FROZEN.get(id(node), False)))
-            _FROZEN[id(node)] = False
+            self._states.append((node, node._omega_frozen))
+            object.__setattr__(node, "_omega_frozen", False)
             for k in dict.keys(node):
                 self._collect(dict.__getitem__(node, k))
         elif isinstance(node, list):
@@ -390,5 +396,5 @@ class open_dict:
 
     def __exit__(self, *args):
         for node, state in self._states:
-            _FROZEN[id(node)] = state
+            object.__setattr__(node, "_omega_frozen", state)
         return False

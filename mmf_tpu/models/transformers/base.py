@@ -120,12 +120,13 @@ class HeadsDict:
         return outputs
 
 
-def build_head(head_config) -> nn.Module:
+def build_head(head_config, name=None) -> nn.Module:
     head_type = head_config.get("type", "mlp")
     head_cls = registry.get_transformer_head_class(head_type)
     if head_cls is None:
         raise ValueError(f"No transformer head '{head_type}' registered")
-    return head_cls(config=dict(head_config))
+    kwargs = {"name": name} if name is not None else {}
+    return head_cls(config=dict(head_config), **kwargs)
 
 
 def build_heads_dict(head_configs, tasks, losses=None) -> HeadsDict:

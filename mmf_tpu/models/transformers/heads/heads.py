@@ -71,6 +71,11 @@ class MLM(BaseTransformerHead):
             masked_labels = processed_sample_list["mlm_labels"][
                 "combined_labels"
             ]
+        # when the model supplies hidden states encoded from the MASKED
+        # ids (ViLT's second forward), those are what MLM must score
+        sequence_output = processed_sample_list.get(
+            "hs_masked_for_mlm", sequence_output
+        )
         logits = MLMHead(tcfg, name="cls")(
             sequence_output, shared_embedding=shared_embedding
         )
@@ -287,16 +292,28 @@ class Refiner(BaseTransformerHead):
         pooled = Pooler(tcfg, name="pooler")(sequence_output)
         fused = nn.Dense(hidden_size, name="fusion")(pooled)
 
+        # per-modality targets: the masked mean of each modality's token
+        # SPAN (reference refiner.py:116-143 — spans come from the
+        # per-modality masks, concatenated in modality order). Without
+        # masks every decoder would regress the same whole-sequence mean
+        # and the per-modality losses would be redundant.
+        masks = None
+        if processed_sample_list is not None:
+            masks = processed_sample_list.get("masks", None)
         losses = {}
         start = 0
         for m in modalities:
-            key = f"{m}_end"
-            if processed_sample_list is not None and key in processed_sample_list:
-                end = processed_sample_list[key]
-            else:
-                end = sequence_output.shape[1]
             dec = nn.Dense(hidden_size, name=f"decoder_{m}")(fused)
-            target = sequence_output.mean(axis=1)
+            if masks is not None and m in masks:
+                mask = masks[m].astype(sequence_output.dtype)
+                span = sequence_output[:, start: start + mask.shape[1]]
+                denom = jnp.maximum(
+                    jnp.sum(mask, axis=1, keepdims=True), 1.0
+                )
+                target = jnp.sum(span * mask[..., None], axis=1) / denom
+                start += mask.shape[1]
+            else:
+                target = sequence_output.mean(axis=1)
             losses[f"refiner_{m}_loss"] = jnp.mean((dec - target) ** 2)
         out = {"fused_embedding": fused, "losses": losses}
         return out

@@ -163,7 +163,7 @@ class UniT(BaseModel):
         num_queries = c.get("num_queries", 100)
 
         memory_parts = []
-        bias = None
+        memory_masks = []
         if "image" in sample_list:
             feats = ResNet(
                 depth=c.get("backbone_depth", 50), features_only=True,
@@ -176,11 +176,15 @@ class UniT(BaseModel):
             # DETR sine position encoding over the feature grid
             pos = sine_position_embedding(hh, ww, hidden)[None]
             memory_parts.append(tokens + pos)
+            memory_masks.append(jnp.ones((b, hh * ww), jnp.int32))
         elif "image_feature_0" in sample_list:
             tokens = nn.Dense(hidden, name="input_proj")(
                 sample_list["image_feature_0"]
             )
             memory_parts.append(tokens)
+            memory_masks.append(
+                jnp.ones(tokens.shape[:2], jnp.int32)
+            )
 
         if task_type in ("vl", "glue") and "input_ids" in sample_list:
             text = TextEmbeddings(cfg, name="text_embeddings")(
@@ -190,8 +194,20 @@ class UniT(BaseModel):
             )
             text = nn.Dense(hidden, name="text_proj")(text)
             memory_parts.append(text)
+            memory_masks.append(
+                sample_list.get(
+                    "input_mask",
+                    jnp.ones(text.shape[:2], jnp.int32),
+                ).astype(jnp.int32)
+            )
 
         memory = jnp.concatenate(memory_parts, axis=1)
+        # padding mask over the concatenated memory: text pad tokens must
+        # not receive attention in the encoder or the decoder's
+        # cross-attention (reference DETR passes key_padding_mask through
+        # both, models/unit/transformer.py)
+        memory_mask = jnp.concatenate(memory_masks, axis=1)
+        bias = make_attention_bias(memory_mask, cfg.dtype)
         memory = TransformerEncoder(cfg, name="encoder")(
             memory, bias=bias, deterministic=deterministic
         )
@@ -206,7 +222,7 @@ class UniT(BaseModel):
         intermediates = []
         for i in range(c.get("num_decoder_layers", 6)):
             x = DETRDecoderLayer(cfg, name=f"decoder_{query_key}_{i}")(
-                x, memory, None, deterministic
+                x, memory, bias, deterministic
             )
             intermediates.append(x)
 

@@ -173,6 +173,14 @@ class UNITER(BaseModel):
         tasks = self.config.get("tasks", DEFAULT_PRETRAINING_TASKS)
         return tasks.split(",") if isinstance(tasks, str) else list(tasks)
 
+    def get_step_meta(self):
+        """Per-step host-side pretraining task choice (reference
+        uniter.py samples a task per iteration) — the trainer folds this
+        into the batch meta and the jit cache key."""
+        if self.config.get("do_pretraining", False):
+            return {"task": _random.choice(self._tasks())}
+        return {}
+
     def _pos_feat(self, sample_list, img_feat):
         info = sample_list.get("image_info_0", {}) or {}
         if "img_pos_feat" in sample_list:
@@ -201,84 +209,110 @@ class UNITER(BaseModel):
         attention_mask = jnp.concatenate([input_mask, image_mask], axis=1)
         position_ids = jnp.arange(input_ids.shape[1])[None, :]
 
-        # task selection: dataset name (classification) or sampled
-        # pretraining task (reference samples per-iteration)
+        # task selection: classification keys off the dataset; a
+        # pretraining task comes from the TRAINER via sample_list["task"]
+        # (get_step_meta below — a host-side per-step choice that joins
+        # the jit cache key, reference uniter.py random task sampling).
+        # With no task given (model.init, or direct apply), ALL tasks run
+        # and their losses sum — this also materializes every head's
+        # params at init so any later single-task step finds them.
         if do_pretraining:
             task = sample_list.get("task", None)
-            if task is None:
-                task = _random.choice(self._tasks())
-            if task == "mlm" and "input_ids_masked" in sample_list:
-                input_ids = sample_list["input_ids_masked"]
+            tasks_to_run = [task] if task else self._tasks()
         else:
-            task = sample_list.get("dataset_name", self._tasks()[0])
+            tasks_to_run = [sample_list.get("dataset_name",
+                                            self._tasks()[0])]
 
-        img_masks = None
-        if do_pretraining and task in ("mrc", "mrfr") and \
-                "image_labels" in sample_list:
-            img_masks = (sample_list["image_labels"] == 1)
-
-        seq, pooled = UNITERModelBase(
+        trunk = UNITERModelBase(
             cfg, img_dim=self.config.get("img_dim", 2048), name="uniter"
-        )(input_ids, position_ids, img_feat, img_pos_feat, attention_mask,
-          img_masks, deterministic)
-
-        sl = dict(sample_list)
-        T = input_ids.shape[1]
-        if do_pretraining:
-            if task == "mlm":
-                labels = sl.get("lm_label_ids",
-                                jnp.full(input_ids.shape, -1))
-                pad = jnp.full(
-                    (labels.shape[0], img_feat.shape[1]), -1, labels.dtype
-                )
-                sl["mlm_labels"] = {
-                    "combined_labels": jnp.concatenate([labels, pad], 1)
-                }
-            elif task == "itm":
-                sl.setdefault("is_correct", jnp.ones(
-                    input_ids.shape[0], jnp.int32))
-            elif task == "mrc":
-                info = sl.get("image_info_0", {}) or {}
-                sl["mrc_labels"] = {
-                    "targets": info.get(
-                        "cls_prob",
-                        jnp.zeros(img_feat.shape[:2] + (1601,), jnp.float32),
-                    ),
-                    "is_masked": sl.get(
-                        "image_labels",
-                        jnp.zeros(img_feat.shape[:2], jnp.int32),
-                    ) == 1,
-                }
-            elif task == "mrfr":
-                sl["mrfr_labels"] = {
-                    "targets": img_feat,
-                    "is_masked": sl.get(
-                        "image_labels",
-                        jnp.zeros(img_feat.shape[:2], jnp.int32),
-                    ) == 1,
-                }
-            elif task == "wra":
-                sl["wra_info"] = {
-                    "txt_len": jnp.sum(input_mask, 1),
-                    "img_len": jnp.sum(image_mask, 1),
-                    "txt_pad": 1 - input_mask,
-                    "img_pad": 1 - image_mask,
-                    "is_correct": sl.get(
-                        "is_correct",
-                        jnp.ones(input_ids.shape[0], jnp.int32),
-                    ),
-                }
-
+        )
         heads_cfg = self.config.get("heads", {}) or {}
-        head_config = heads_cfg.get(task, {"type": "mlp", "num_labels": 2,
-                                           "hidden_size": cfg.hidden_size})
-        head = build_head(dict(head_config))
-        out = head(seq, processed_sample_list=sl, deterministic=deterministic)
+        T = sample_list["input_ids"].shape[1]
 
-        output = dict(out)
+        output: Dict[str, Any] = {}
+        merged_losses: Dict[str, Any] = {}
+        for task in tasks_to_run:
+            task_input_ids = input_ids
+            if do_pretraining and task == "mlm" and \
+                    "input_ids_masked" in sample_list:
+                task_input_ids = sample_list["input_ids_masked"]
+            img_masks = None
+            if do_pretraining and task in ("mrc", "mrfr") and \
+                    "image_labels" in sample_list:
+                img_masks = (sample_list["image_labels"] == 1)
+
+            seq, pooled = trunk(
+                task_input_ids, position_ids, img_feat, img_pos_feat,
+                attention_mask, img_masks, deterministic,
+            )
+
+            sl = dict(sample_list)
+            if do_pretraining:
+                if task == "mlm":
+                    labels = sl.get("lm_label_ids",
+                                    jnp.full(task_input_ids.shape, -1))
+                    pad = jnp.full(
+                        (labels.shape[0], img_feat.shape[1]), -1,
+                        labels.dtype
+                    )
+                    sl["mlm_labels"] = {
+                        "combined_labels": jnp.concatenate([labels, pad], 1)
+                    }
+                elif task == "itm":
+                    sl.setdefault("is_correct", jnp.ones(
+                        task_input_ids.shape[0], jnp.int32))
+                elif task == "mrc":
+                    info = sl.get("image_info_0", {}) or {}
+                    sl["mrc_labels"] = {
+                        "targets": info.get(
+                            "cls_prob",
+                            jnp.zeros(
+                                img_feat.shape[:2] + (1601,), jnp.float32
+                            ),
+                        ),
+                        "is_masked": sl.get(
+                            "image_labels",
+                            jnp.zeros(img_feat.shape[:2], jnp.int32),
+                        ) == 1,
+                    }
+                elif task == "mrfr":
+                    sl["mrfr_labels"] = {
+                        "targets": img_feat,
+                        "is_masked": sl.get(
+                            "image_labels",
+                            jnp.zeros(img_feat.shape[:2], jnp.int32),
+                        ) == 1,
+                    }
+                elif task == "wra":
+                    sl["wra_info"] = {
+                        "txt_len": jnp.sum(input_mask, 1),
+                        "img_len": jnp.sum(image_mask, 1),
+                        "txt_pad": 1 - input_mask,
+                        "img_pad": 1 - image_mask,
+                        "is_correct": sl.get(
+                            "is_correct",
+                            jnp.ones(task_input_ids.shape[0], jnp.int32),
+                        ),
+                    }
+
+            head_config = heads_cfg.get(task, {"type": "mlp",
+                                               "num_labels": 2,
+                                               "hidden_size":
+                                                   cfg.hidden_size})
+            head = build_head(dict(head_config), name=f"head_{task}")
+            out = head(seq, processed_sample_list=sl,
+                       deterministic=deterministic)
+            for k, v in dict(out).items():
+                if k == "losses":
+                    merged_losses.update(v)
+                else:
+                    output[k] = v
+        if merged_losses:
+            output["losses"] = merged_losses
+
         if "losses" in output:
-            ds = sl.get("dataset_name", "unknown")
-            dt = sl.get("dataset_type", "train")
+            ds = sample_list.get("dataset_name", "unknown")
+            dt = sample_list.get("dataset_type", "train")
             output["losses"] = {
                 f"{dt}/{ds}/{k}": v for k, v in output["losses"].items()
             }

@@ -450,7 +450,13 @@ class ViLBERT(BaseModel):
                 pooled, deterministic
             )
             if head == "nlvr2":
-                pooled = pooled.reshape(-1, pooled.shape[1] * 2)
+                # the batch was doubled BLOCK-wise ([all img0; all img1]),
+                # so pair by halves — reshape(-1, 2H) would concatenate
+                # img0 of sample i with img0 of sample i+1
+                b = pooled.shape[0]
+                pooled = jnp.concatenate(
+                    [pooled[: b // 2], pooled[b // 2:]], axis=1
+                )
             clf_cfg = TransformerConfig.from_dict(
                 {"hidden_size": pooled.shape[-1]}
             )

@@ -180,6 +180,28 @@ class ViLT(BaseModel):
 
         sequence, _ = encoder(embeddings, attention_mask, deterministic)
 
+        if "mlm" in head_string:
+            # second masked forward (reference vilt.py:270-283
+            # _encode_mlm): the MLM loss must score a sequence encoded
+            # from the MASKED ids — scoring the unmasked encode lets the
+            # model read each target token from its own embedding and the
+            # objective collapses. (We concatenate [text; image] like the
+            # main forward; the reference's _encode_mlm flips the order
+            # against its own [text; image] labels/mask — not replicated.)
+            masked_ids = sample_list.get(
+                "input_ids_masked", sample_list["input_ids"]
+            )
+            masked_text = text_embeddings(
+                masked_ids, sample_list["segment_ids"], deterministic
+            )
+            masked_embeddings = jnp.concatenate(
+                [masked_text, image_embedding], 1
+            )
+            masked_seq, _ = encoder(
+                masked_embeddings, attention_mask, deterministic
+            )
+            sl["hs_masked_for_mlm"] = masked_seq
+
         outputs = heads_dict(
             sl.get("dataset_name", "unknown"), sequence, sl, deterministic
         )

@@ -462,10 +462,20 @@ class ConcatMLP(nn.Module):
     def __call__(self, x: List[jnp.ndarray], deterministic=True):
         dims = list(self.dimensions or [500, 500]) + [self.output_dim]
         x = list(x)
+        # expand only the TOKEN axis (reference fusions.py:739-744
+        # unsqueeze(1).expand(-1, L, -1)) — the two modalities may have
+        # different feature dims, so broadcasting to the other's full
+        # shape would require equal last dims
         if x[0].ndim == 3 and x[1].ndim == 2:
-            x[1] = jnp.broadcast_to(x[1][:, None, :], x[0].shape)
+            x[1] = jnp.broadcast_to(
+                x[1][:, None, :],
+                (x[1].shape[0], x[0].shape[1], x[1].shape[-1]),
+            )
         if x[1].ndim == 3 and x[0].ndim == 2:
-            x[0] = jnp.broadcast_to(x[0][:, None, :], x[1].shape)
+            x[0] = jnp.broadcast_to(
+                x[0][:, None, :],
+                (x[0].shape[0], x[1].shape[1], x[0].shape[-1]),
+            )
         z = jnp.concatenate(x, axis=-1)
         return MLP(dims, self.activation, self.dropout, name="mlp")(
             z, deterministic

@@ -176,17 +176,16 @@ class TripleLinear(nn.Module):
 
     @nn.compact
     def __call__(self, joint_embedding, train=False):
+        dense = [nn.Dense(self.out_dim, name=f"linear_{i}") for i in range(3)]
         if train:
-            feats = [
-                nn.Dense(self.out_dim, name=f"linear_{i}")(joint_embedding[:, i])
-                for i in range(3)
-            ]
+            feats = [dense[i](joint_embedding[:, i]) for i in range(3)]
             return jnp.stack(feats, axis=1)
-        # initialize all three branches regardless (stable param tree)
-        outs = [
-            nn.Dense(self.out_dim, name=f"linear_{i}") for i in range(3)
-        ]
-        return outs[0](joint_embedding)
+        # flax materializes params only on CALL — linear_1/linear_2 must
+        # run here too (jit DCEs the unused outputs) or an eval-mode init
+        # followed by a train-mode apply hits ScopeParamNotFoundError
+        for i in (1, 2):
+            _ = dense[i](joint_embedding)
+        return dense[0](joint_embedding)
 
 
 class BertClassifierHead(nn.Module):
@@ -643,6 +642,18 @@ class ModalCombineLayer(nn.Module):
                 p["hidden_dim"], p.get("dropout", 0.0), name="module"
             )(*args, deterministic=deterministic, **kwargs)
         if t == "top_down_attention_lstm":
+            # the reference smuggles the LSTM state through a registry
+            # side channel (layers.py:424-432); here recurrent state is
+            # explicit — callers must thread it (BUTD does so via
+            # BUTDStep; see models/butd.py)
+            if "state" not in kwargs:
+                raise ValueError(
+                    "combine type 'top_down_attention_lstm' needs explicit "
+                    "recurrent state: pass state={'td_hidden': (h,c), "
+                    "'lm_hidden': (h,c)} through the attention call "
+                    "(the BUTD decode loop threads it; see "
+                    "mmf_tpu/models/butd.py)"
+                )
             return TopDownAttentionLSTM(
                 p["attention_dim"], p["hidden_dim"], p.get("dropout", 0.0),
                 name="module",

@@ -89,27 +89,38 @@ def adam_w_skip_params_with_zero_grad(**params) -> optax.GradientTransformation:
     def update_fn(grads, state, params_=None):
         updates, new_state = inner.update(grads, state, params_)
 
-        def mask_leaf(u, g):
-            nonzero = jnp.any(g != 0)
-            return jnp.where(nonzero, u, jnp.zeros_like(u))
+        nonzero = jax.tree_util.tree_map(
+            lambda g: jnp.any(g != 0), grads
+        )
 
-        masked_updates = jax.tree_util.tree_map(mask_leaf, updates, grads)
+        masked_updates = jax.tree_util.tree_map(
+            lambda u, nz: jnp.where(nz, u, jnp.zeros_like(u)),
+            updates, nonzero,
+        )
 
-        # keep old moments for skipped leaves
-        def pick_state(new, old, g):
-            if not isinstance(new, jnp.ndarray) or new.shape != g.shape:
-                return new
-            nonzero = jnp.any(g != 0)
-            return jnp.where(nonzero, new, old)
-
-        try:
-            new_state = jax.tree_util.tree_map(
-                pick_state, new_state, state,
-                jax.tree_util.tree_map(lambda x: x, grads),
-                is_leaf=lambda x: isinstance(x, jnp.ndarray),
+        # freeze first/second moments for skipped leaves: optax.adamw's
+        # state is a tuple whose adam component is a namedtuple carrying
+        # params-shaped mu/nu pytrees — update those directly instead of
+        # tree-mapping over mismatched structures
+        def freeze_moments(new_comp, old_comp):
+            if not (hasattr(new_comp, "mu") and hasattr(new_comp, "nu")):
+                return new_comp
+            mu = jax.tree_util.tree_map(
+                lambda n, o, nz: jnp.where(nz, n, o),
+                new_comp.mu, old_comp.mu, nonzero,
             )
-        except Exception:
-            pass  # structure mismatch (counters etc.) — moments-only best effort
+            nu = jax.tree_util.tree_map(
+                lambda n, o, nz: jnp.where(nz, n, o),
+                new_comp.nu, old_comp.nu, nonzero,
+            )
+            return new_comp._replace(mu=mu, nu=nu)
+
+        if isinstance(new_state, tuple):
+            new_state = tuple(
+                freeze_moments(n, o) for n, o in zip(new_state, state)
+            )
+        else:
+            new_state = freeze_moments(new_state, state)
         return masked_updates, new_state
 
     return optax.GradientTransformation(init_fn, update_fn)

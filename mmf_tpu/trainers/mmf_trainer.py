@@ -267,7 +267,7 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         )
 
     def _get_train_step(self, meta: Dict[str, Any]):
-        key = (meta.get("dataset_name", ""), "train")
+        key = (meta.get("dataset_name", ""), meta.get("task", ""), "train")
         if key not in self._train_steps:
             uf = self.training_config.get("update_frequency", 1)
             report_fields = ()
@@ -358,6 +358,12 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                 self._fire("on_update_start")
 
                 meta = self._batch_meta(batch)
+                # models with per-step host-side choices (UNITER samples a
+                # pretraining task each iteration, reference uniter.py
+                # random task sampling) extend the meta — it becomes part
+                # of the jit cache key so each choice compiles once
+                if hasattr(self.model, "get_step_meta"):
+                    meta.update(self.model.get_step_meta() or {})
                 self._ensure_state(batch)
                 with self.trace("batch_prepare"):
                     device_batch = mesh_lib.shard_batch(
