@@ -60,15 +60,18 @@ class HMConverter:
         os.makedirs(ann_dir, exist_ok=True)
         os.makedirs(img_dir, exist_ok=True)
 
-        phase = 2 if any(
-            os.path.exists(os.path.join(extract_dir, "data", f))
-            for f in ["dev_unseen.jsonl"]
-        ) else 1
-        files = (self.JSONL_PHASE_TWO_FILES if phase == 2
-                 else self.JSONL_PHASE_ONE_FILES)
+        # the jsonls may live under data/ or at the archive root — pick
+        # the root FIRST, then detect the phase against it (checking only
+        # data/ misclassified root-layout phase-2 zips as phase 1 and
+        # silently dropped the seen/unseen splits)
         data_root = os.path.join(extract_dir, "data")
         if not os.path.exists(data_root):
             data_root = extract_dir
+        phase = 2 if os.path.exists(
+            os.path.join(data_root, "dev_unseen.jsonl")
+        ) else 1
+        files = (self.JSONL_PHASE_TWO_FILES if phase == 2
+                 else self.JSONL_PHASE_ONE_FILES)
         for f in files:
             src = os.path.join(data_root, f)
             if os.path.exists(src):
@@ -79,6 +82,14 @@ class HMConverter:
             if os.path.exists(dst_img):
                 shutil.rmtree(dst_img)
             shutil.move(src_img, dst_img)
+        else:
+            # images may ship as img.tar.gz (IMAGE_FILES advertises it)
+            tarball = os.path.join(data_root, "img.tar.gz")
+            if os.path.exists(tarball):
+                import tarfile
+
+                with tarfile.open(tarball) as tf:
+                    tf.extractall(img_dir)
         shutil.rmtree(extract_dir, ignore_errors=True)
         print(f"Converted Hateful Memes (phase {phase}) to {self.output_dir}")
 

@@ -75,11 +75,19 @@ class CharadesDataset(BaseDataset):
             os.path.join(data_dir, config["classes_file"])
         )
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
-        # keep only entries whose frames exist on disk
-        self.entries = [
-            e for e in self.entries
-            if os.path.isdir(os.path.join(self.frames_dir, e["id"]))
-        ]
+        # keep only entries with at least one decoded frame on disk (an
+        # empty dir — e.g. a failed decode job — would crash frame
+        # sampling mid-epoch)
+        def _has_frames(video_id):
+            folder = os.path.join(self.frames_dir, video_id)
+            if not os.path.isdir(folder):
+                return False
+            return any(
+                f.lower().endswith((".jpg", ".jpeg", ".png"))
+                for f in os.listdir(folder)
+            )
+
+        self.entries = [e for e in self.entries if _has_frames(e["id"])]
         if not self.entries:
             raise RuntimeError(
                 f"No frame directories under {self.frames_dir}; decode "

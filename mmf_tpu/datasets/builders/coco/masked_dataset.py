@@ -65,7 +65,12 @@ class MaskedCOCODataset(COCODataset):
                 others = [
                     i for i in range(len(captions)) if i != selected_index
                 ]
-                other_caption = captions[random.choice(others)]
+                # single-caption images (SBU / Conceptual Captions reuse
+                # this dataset) re-use the same caption as the true pair
+                # instead of crashing on random.choice([])
+                other_caption = captions[
+                    random.choice(others) if others else selected_index
+                ]
                 is_correct = True
         elif self._false_caption:
             # ITM over a SINGLE sentence: swap it for a mismatch sometimes

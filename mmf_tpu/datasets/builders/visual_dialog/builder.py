@@ -106,7 +106,14 @@ class VisualDialogDataset(MMFDataset):
         sample.image_id = np.int64(info["image_id"])
 
         if self._use_features:
-            sample.update(self.features_db[idx])
+            # visdial annotations carry only image_id — give the feature
+            # reader an explicit path instead of letting it fall back to
+            # (missing) image_path/feature_path keys
+            sample.update(
+                self.features_db.get(
+                    {"feature_path": f"{int(info['image_id'])}.npy"}
+                )
+            )
 
         if self._discriminative and "answer_options" in info:
             options = info["answer_options"][: self._max_options]

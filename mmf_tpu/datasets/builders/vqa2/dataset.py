@@ -39,7 +39,11 @@ class VQA2Dataset(MMFDataset):
                 self.cache[idx] = self.load_item(idx)
 
     def __getitem__(self, idx):
-        if self._should_fast_read and self._dataset_type != "test":
+        # builders that never call try_fast_read (COCO-family subclasses
+        # go through MMFDatasetBuilder.load) have no cache — fall through
+        # to a normal load instead of AttributeError on the first batch
+        if self._should_fast_read and self._dataset_type != "test" \
+                and hasattr(self, "cache"):
             return self.cache[idx]
         return self.load_item(idx)
 

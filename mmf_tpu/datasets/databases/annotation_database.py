@@ -63,7 +63,7 @@ class AnnotationDatabase:
             raise RuntimeError("Dataset is empty")
 
     def _load_visual_dialog(self, path):
-        from mmf_tpu.datasets.builders.visual_dialog.database import (
+        from mmf_tpu.datasets.builders.visual_dialog.builder import (
             VisualDialogDatabase,
         )
 

@@ -43,7 +43,10 @@ def get_image_files(
 
     if partition is not None and max_partition is not None:
         interval = math.floor(len(selected) / max_partition)
-        if partition == max_partition:
+        # the LAST shard (max_partition - 1) absorbs the remainder — the
+        # old `== max_partition` check was unreachable, silently dropping
+        # the tail images from every shard (reference extraction_utils)
+        if partition == max_partition - 1:
             selected = selected[partition * interval:]
         else:
             selected = selected[partition * interval:

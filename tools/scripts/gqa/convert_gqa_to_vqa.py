@@ -108,8 +108,11 @@ def extract_spatial_feats(feat_dir: str, out_dir: str):
         with h5py.File(os.path.join(feat_dir, f"gqa_spatial_{i}.h5")) as db:
             for image_id, meta in entries:
                 feat = np.asarray(db["features"][meta["idx"]])
+                # gqa_spatial stores CHW (2048,7,7): PERMUTE to HWC — a
+                # reshape would reinterpret the buffer and scramble the
+                # channel/position layout
                 np.save(os.path.join(out_dir, f"{image_id}.npy"),
-                        feat.reshape(1, 7, 7, 2048))
+                        feat.transpose(1, 2, 0)[None])
 
 
 def main():
