@@ -205,7 +205,14 @@ class MRC(BaseTransformerHead):
 
 @registry.register_transformer_head("mrfr")
 class MRFR(BaseTransformerHead):
-    """Masked region feature regression (reference heads/mrfr.py)."""
+    """Masked region feature regression (reference heads/mrfr.py).
+
+    Known deviation: the reference ties its hidden->img_dim regression
+    projection to the trunk's image-embedding weight
+    (mrfr.py:41-49 linear_proj_weight); this head owns an independent
+    decoder kernel. Same objective, slightly different parameterization
+    — converted checkpoints fill the decoder from linear_proj_weight via
+    the fuzzy name match."""
 
     config: Any = None
 
