@@ -388,3 +388,81 @@ def test_movie_mcan_features_and_raw_image():
     v2 = m2.init({"params": RNG, "dropout": RNG}, batch2, False)
     out2 = m2.apply(v2, batch2, False)
     assert out2["scores"].shape == (B, 9)
+
+
+def test_unit_padding_invariance():
+    """Pad tokens must not receive attention: garbage in padded input_ids
+    positions cannot change the logits (regression for the missing
+    memory bias)."""
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    mc = omega.create({
+        "hidden_size": 32, "num_encoder_layers": 1, "num_decoder_layers": 1,
+        "num_attention_heads": 4, "num_queries": 4, "num_classes": 5,
+        "vocab_size": 50, "dropout": 0.0, "dtype": "float32",
+        "task_map": {"vqa2": "vl"}, "vqa_num_labels": 7,
+    })
+    m = registry.get_model_class("unit")(config=mc)
+    rng = np.random.RandomState(0)
+    T = 8
+    ids = rng.randint(1, 50, (B, T))
+    mask = np.ones((B, T), np.int64)
+    mask[:, 5:] = 0  # last three positions are padding
+    batch = {
+        "input_ids": ids,
+        "input_mask": mask,
+        "segment_ids": np.zeros((B, T), np.int64),
+        "image_feature_0": rng.randn(B, 6, 32).astype(np.float32),
+        "dataset_name": "vqa2", "dataset_type": "val",
+    }
+    v = m.init(RNG, batch, False)
+    s1 = np.asarray(m.apply(v, batch, False)["scores"])
+    batch2 = dict(batch)
+    ids2 = ids.copy()
+    ids2[:, 5:] = rng.randint(1, 50, (B, 3))  # different pad content
+    batch2["input_ids"] = ids2
+    s2 = np.asarray(m.apply(v, batch2, False)["scores"])
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_vilbert_nlvr2_pairs_by_halves():
+    """nlvr2 must pair img0/img1 of the SAME sample: swapping the two
+    samples' img1 features must change BOTH rows' scores (the broken
+    reshape paired adjacent rows instead)."""
+    cfg = dict(training_head_type="nlvr2", vocab_size=60, hidden_size=24,
+               num_hidden_layers=1, num_attention_heads=4,
+               intermediate_size=48, v_hidden_size=24,
+               v_num_hidden_layers=1, v_num_attention_heads=4,
+               v_intermediate_size=48, bi_hidden_size=24,
+               bi_num_attention_heads=4, v_biattention_id=[0],
+               t_biattention_id=[0], v_feature_size=16,
+               max_position_embeddings=32, num_labels=2, losses=[],
+               visual_target=0, dynamic_attention=False,
+               fusion_method="mul")
+    m = registry.get_model_class("vilbert")(config=omega.create(cfg))
+    rng = np.random.RandomState(0)
+    T, R = 6, 4
+
+    def img(seed):
+        r = np.random.RandomState(seed)
+        return {"image_feature_0": r.randn(B, R, 16).astype(np.float32),
+                "image_info_0": {"bbox": r.rand(B, R, 4).astype(np.float32),
+                                 "max_features": np.asarray([R, R])}}
+
+    batch = {
+        "input_ids": rng.randint(0, 60, (B, T)),
+        "input_mask": np.ones((B, T), np.int64),
+        "segment_ids": np.zeros((B, T), np.int64),
+        "img0": img(1), "img1": img(2),
+        "dataset_name": "nlvr2", "dataset_type": "val",
+    }
+    v = m.init(RNG, batch, False)
+    s1 = np.asarray(m.apply(v, batch, False)["scores"])
+    assert s1.shape == (B, 2)
+    # swap img1 rows between the two samples
+    b2 = dict(batch)
+    f = batch["img1"]["image_feature_0"]
+    b2["img1"] = dict(batch["img1"], image_feature_0=f[::-1].copy())
+    s2 = np.asarray(m.apply(v, b2, False)["scores"])
+    assert np.abs(s1[0] - s2[0]).max() > 1e-6
+    assert np.abs(s1[1] - s2[1]).max() > 1e-6
