@@ -148,17 +148,36 @@ def get_zoo_config(
         else:
             return version, resources
 
-    if variation not in zoo:
-        return version, resources
-    zoo = zoo[variation]
-
-    # "defaults: ${...}" aliases resolve via interpolation already
+    # "defaults: ${...}" aliases resolve to the aliased node via
+    # interpolation; a plain-string leaf is a key alias
     if isinstance(zoo, str):
         return get_zoo_config(zoo, "defaults", zoo_config_path, zoo_type)
 
-    if "version" not in zoo or "resources" not in zoo:
-        return version, resources
-    return zoo["version"], zoo["resources"]
+    if variation not in zoo:
+        # reference configuration.py:108-113 — when the variation is
+        # absent, the selected node itself must be the resource record
+        # (i.e. the full key incl. variation was passed directly)
+        assert variation == "defaults", (
+            f"'{variation}' variation not present in zoo config"
+        )
+        return _get_version_and_resources(zoo)
+    elif "resources" in zoo:
+        # full key passed directly, and it happens to have a sibling
+        # named like the variation
+        return _get_version_and_resources(zoo)
+    else:
+        node = zoo[variation]
+        if isinstance(node, str):
+            return get_zoo_config(node, "defaults", zoo_config_path, zoo_type)
+        return _get_version_and_resources(node)
+
+
+def _get_version_and_resources(item):
+    if not isinstance(item, dict) or "version" not in item or (
+        "resources" not in item
+    ):
+        return None, None
+    return item["version"], item["resources"]
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,59 @@ _RESOLVERS: Dict[str, Callable] = {}
 MISSING = "???"
 
 
+# PyYAML's default YAML-1.1 implicit resolvers mangle config values:
+# "1.0_2020_05_19" (a zoo version) parses as the float 1.020200519,
+# "2020_05_08" as an int, and dates become datetime objects. OmegaConf
+# patches its loader the same way; we re-register strict (no-underscore,
+# no-sexagesimal) number resolvers and drop the timestamp resolver so
+# such scalars stay strings.
+class _StrictScalarLoader(yaml.SafeLoader):
+    pass
+
+
+_StrictScalarLoader.yaml_implicit_resolvers = {
+    first: [
+        (tag, regexp)
+        for tag, regexp in resolvers
+        if tag
+        not in (
+            "tag:yaml.org,2002:float",
+            "tag:yaml.org,2002:int",
+            "tag:yaml.org,2002:timestamp",
+        )
+    ]
+    for first, resolvers in yaml.SafeLoader.yaml_implicit_resolvers.items()
+}
+_StrictScalarLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:int",
+    re.compile(
+        r"""^(?:[-+]?0b[0-1]+
+            |[-+]?0o?[0-7]+
+            |[-+]?(?:0|[1-9][0-9]*)
+            |[-+]?0x[0-9a-fA-F]+)$""",
+        re.X,
+    ),
+    list("-+0123456789"),
+)
+_StrictScalarLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9]*)\.[0-9]*(?:[eE][-+]?[0-9]+)?
+            |[-+]?\.[0-9]+(?:[eE][-+]?[0-9]+)?
+            |[-+]?[0-9]+(?:[eE][-+]?[0-9]+)
+            |[-+]?\.(?:inf|Inf|INF)
+            |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def yaml_load(stream):
+    """yaml.safe_load with config-safe scalar resolution (see above)."""
+    return yaml.load(stream, Loader=_StrictScalarLoader)
+
+
 def register_resolver(name: str, fn: Callable, replace: bool = False):
     if name in _RESOLVERS and not replace:
         return
@@ -211,7 +264,7 @@ def create(data: Union[dict, list, str, None] = None) -> Any:
     if data is None:
         data = {}
     if isinstance(data, str):
-        data = yaml.safe_load(data) or {}
+        data = yaml_load(data) or {}
     node = _wrap(data)
     if isinstance(node, ConfigNode):
         _reroot(node, None)
@@ -220,7 +273,7 @@ def create(data: Union[dict, list, str, None] = None) -> Any:
 
 def load(path: str) -> ConfigNode:
     with open(path) as f:
-        data = yaml.safe_load(f) or {}
+        data = yaml_load(f) or {}
     node = ConfigNode(data)
     _reroot(node, None)
     return node
@@ -278,7 +331,7 @@ def merge_with_dotlist(cfg: ConfigNode, opts: List[str],
         pairs = [(opts[i], opts[i + 1]) for i in range(0, len(opts), 2)]
 
     for key, value in pairs:
-        parsed = yaml.safe_load(value)
+        parsed = yaml_load(value)
         path = key.split(".")
         cur: Any = cfg
         for depth, part in enumerate(path):

@@ -43,6 +43,47 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _torch_to_numpy_tree(obj):
+    """Convert any torch tensors in a nested checkpoint to numpy arrays."""
+    try:
+        import torch
+    except ImportError:  # pragma: no cover - torch is baked into this image
+        return obj
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    if isinstance(obj, dict):
+        return {k: _torch_to_numpy_tree(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_torch_to_numpy_tree(v) for v in obj)
+    return obj
+
+
+def _restore_any(path: str):
+    """Restore a checkpoint in either the native (orbax) or the PyTorch
+    format.
+
+    Zoo archives ship torch ``.pth``/``.ckpt`` files (the reference
+    torch.loads them, checkpoint.py:300-310); they are detected by zip
+    magic (torch>=1.6 serialization) with a pickle fallback, and returned
+    as a numpy tree so the torch->flax converter can consume them."""
+    import zipfile
+
+    if os.path.isfile(path):
+        if zipfile.is_zipfile(path):
+            import torch
+
+            raw = torch.load(path, map_location="cpu", weights_only=False)
+            return _torch_to_numpy_tree(raw)
+        try:
+            return _checkpointer().restore(path)
+        except Exception:
+            import torch
+
+            raw = torch.load(path, map_location="cpu", weights_only=False)
+            return _torch_to_numpy_tree(raw)
+    return _checkpointer().restore(path)
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, Any]:
     out = {}
     if isinstance(tree, dict):
@@ -172,15 +213,71 @@ class Checkpoint:
 
     def _load(self, path: str, load_pretrained: bool = False):
         logger.info(f"Loading checkpoint from {path}")
-        ckpt = _checkpointer().restore(path)
+        ckpt = _restore_any(path)
+        ckpt = self._adapt_torch_ckpt(ckpt)
         self._load_into_trainer(ckpt, load_pretrained=load_pretrained)
         logger.info("Checkpoint loaded.")
+
+    def _adapt_torch_ckpt(self, ckpt):
+        """Map a torch-format checkpoint (flat ``model`` state_dict, the
+        reference's layout checkpoint.py:543-568) onto the native layout by
+        running the torch->flax converter against the live model's param
+        template. Native checkpoints (with ``variables``) pass through."""
+        if not isinstance(ckpt, dict) or "variables" in ckpt:
+            return ckpt
+        sd = ckpt.get("model")
+        if not isinstance(sd, dict):
+            # model-only checkpoint: the dict itself is the state_dict
+            if all(hasattr(v, "shape") for v in ckpt.values()):
+                sd, ckpt = ckpt, {}
+            else:
+                return ckpt
+        from mmf_tpu.utils.checkpoint_updater import (
+            MODEL_KEY_MAPS,
+            convert_torch_state_dict,
+        )
+
+        variables = self.trainer.get_variables()
+        model = getattr(self.trainer, "model", None)
+        model_name = self.config.get("model", None)
+        format_fn = getattr(type(model), "format_state_key", None) if model \
+            else None
+        converted, stats = convert_torch_state_dict(
+            {k: np.asarray(v) for k, v in sd.items()},
+            variables["params"],
+            key_map=MODEL_KEY_MAPS.get(model_name),
+            format_state_key=format_fn,
+        )
+        logger.info(
+            f"Adapted torch checkpoint for model '{model_name}': "
+            f"{stats['matched']} matched / {stats['missed']} missed / "
+            f"{stats['shape_mismatch']} shape mismatches"
+        )
+        new_ckpt = {"variables": dict(variables, params=converted)}
+        counts = {
+            k: ckpt[k]
+            for k in (
+                "current_iteration",
+                "num_updates",
+                "current_epoch",
+                "best_iteration",
+                "best_update",
+                "best_metric_value",
+            )
+            if k in ckpt
+        }
+        if counts:
+            new_ckpt["counts"] = counts
+        return new_ckpt
 
     def _load_from_zoo(self, zoo_key: str, ckpt_config):
         from mmf_tpu.utils.download import download_pretrained_model
 
         folder = download_pretrained_model(zoo_key)
-        ckpts = sorted(glob.glob(os.path.join(folder, "*.ckpt")))
+        ckpts = sorted(
+            glob.glob(os.path.join(folder, "*.ckpt"))
+            + glob.glob(os.path.join(folder, "*.pth"))
+        )
         assert ckpts, f"No checkpoints found in zoo folder {folder}"
         self._load(
             ckpts[0],
@@ -388,5 +485,5 @@ def load_pretrained_model(model_name_or_path: str, *args, **kwargs):
     from mmf_tpu.config.configuration import load_yaml
 
     config = load_yaml(configs[0])
-    ckpt = _checkpointer().restore(ckpts[0])
+    ckpt = _restore_any(ckpts[0])
     return {"config": config, "checkpoint": ckpt, "full_config": config}

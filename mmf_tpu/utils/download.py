@@ -31,8 +31,15 @@ class DownloadableFile:
     """One resource: url, target file name, optional sha256 checksum
     (reference download.py:31-160)."""
 
+    # "mmf://" scheme used throughout the zoo tables resolves to the
+    # public MMF CDN (reference download.py:56-57,98-101)
+    MMF_PREFIX = "mmf://"
+    MMF_PREFIX_REPLACEMENT = "https://dl.fbaipublicfiles.com/mmf/data/"
+
     def __init__(self, url, file_name, hashcode=None, compressed=True,
                  delete_original=False, dest_folder=None):
+        if url.startswith(self.MMF_PREFIX):
+            url = self.MMF_PREFIX_REPLACEMENT + url[len(self.MMF_PREFIX):]
         self._url = url
         self._file_name = file_name
         self._hashcode = hashcode
