@@ -364,15 +364,24 @@ class UNITERTextTokenizer(MaskedTokenProcessor):
 
 @registry.register_processor("vinvl_text_tokenizer")
 class VinVLTextTokenizer(MaskedTokenProcessor):
-    """(reference bert_processors.py:524-653): text + tags (+ contrastive
-    corruption support via text_b)."""
+    """(reference bert_processors.py:524-653): caption + OD-tag pair
+    tokenization keeping BOTH the masked and the original id sequences
+    (the VinVL model uses ``input_ids_masked`` for MLM and ``input_ids``
+    elsewhere), plus contrastive corruption: with probability
+    ``corrupt_probability`` the caption (or the tag string) is swapped for
+    a random draw, emitting ``*_corrupt`` inputs and a 3-way
+    ``contrastive_label`` (0=match, 1=caption swapped, 2=tags swapped)."""
 
     def __init__(self, config, *args, **kwargs):
         super().__init__(config, *args, **kwargs)
+        self._max_seq_length = config.get("max_seq_length", 70)
         self._probability = config.get("mask_probability", 0)
         self._corrupt_prob = config.get("corrupt_probability", 0)
+        self._corrupt_caption_prob = config.get(
+            "corrupt_caption_probability", 0
+        )
 
-    def __call__(self, item):
+    def _pair_output(self, item):
         text_a = item.get("text", item.get("text_a", ""))
         text_b = item.get("text_b", None)
         if isinstance(text_a, list):
@@ -381,7 +390,52 @@ class VinVLTextTokenizer(MaskedTokenProcessor):
         tokens_b = self.tokenize(text_b) if text_b else None
         self._truncate_seq_pair(tokens_a, tokens_b, self._max_seq_length)
         output = self._convert_to_indices(
-            tokens_a, tokens_b, probability=self._probability
+            list(tokens_a),
+            list(tokens_b) if tokens_b is not None else None,
+            probability=self._probability,
         )
-        output["text"] = output["tokens"]
+        # keep the masked ids under their own key and restore the
+        # original (unmasked) sequence under input_ids
+        output["input_ids_masked"] = output["input_ids"]
+        output["tokens_masked"] = output["tokens"]
+        plain = [self._CLS_TOKEN] + tokens_a + [self._SEP_TOKEN]
+        if tokens_b:
+            plain += tokens_b + [self._SEP_TOKEN]
+        ids = self._convert_tokens_to_ids(plain)
+        ids += [self._PAD_TOKEN_ID] * (self._max_seq_length - len(ids))
+        output["input_ids"] = np.asarray(ids, np.int64)
+        output["text"] = output["tokens_masked"]
+        return output
+
+    def _contrastive_output(self, item):
+        required = ("random_captions", "random_labels", "text_b")
+        for key in required:
+            assert key in item, (
+                f"'{key}' is required for VinVL contrastive corruption; "
+                "set corrupt_probability to 0 to disable"
+            )
+        p_match = 1 - self._corrupt_prob
+        p_caption = self._corrupt_prob * self._corrupt_caption_prob
+        p_label = self._corrupt_prob * (1 - self._corrupt_caption_prob)
+        label = int(np.random.choice(3, p=[p_match, p_caption, p_label]))
+        corrupt_item = dict(item)
+        if label == 1:
+            corrupt_item["text"] = random.choice(item["random_captions"])
+        elif label == 2:
+            corrupt_item["text_b"] = random.choice(item["random_labels"])
+        return label, self._pair_output(corrupt_item)
+
+    def __call__(self, item):
+        output = self._pair_output(item)
+        if self._corrupt_prob > 0:
+            label, corrupt = self._contrastive_output(item)
+            output["input_ids_corrupt"] = corrupt["input_ids"]
+            output["segment_ids_corrupt"] = corrupt["segment_ids"]
+            output["input_mask_corrupt"] = corrupt["input_mask"]
+            output["contrastive_label"] = np.int64(label)
+            # the reference's model side reads the plural key
+            # (vinvl.py:468) while its processor emits the singular
+            # (bert_processors.py:555) — emit both so the standard
+            # pipeline actually works end to end
+            output["contrastive_labels"] = np.int64(label)
         return output
