@@ -231,16 +231,11 @@ class M4C(BaseModel):
         text_cfg = self._text_cfg()
         hidden = mmt_cfg.hidden_size
 
-        # ---- shared modules (single instances reused across decode steps)
+        # ---- shared modules -------------------------------------------------
+        # mmt/ocr_ptr_net are instantiated inside one_pass (below) so the
+        # eval path can run it under nn.scan; text_bert runs once per
+        # forward and stays here
         text_bert = TextBert(text_cfg, name="text_bert")
-        mmt = MMT(mmt_cfg, name="mmt")
-        ocr_ptr_net = OcrPtrNet(
-            hidden_size=hidden,
-            query_key_size=c["classifier"]["ocr_ptr_net"].get(
-                "query_key_size", None
-            ),
-            name="ocr_ptr_net",
-        )
         num_choices = self._num_choices()
         classifier_w = self.param(
             "classifier_w", nn.initializers.normal(0.02),
@@ -317,6 +312,19 @@ class M4C(BaseModel):
 
         # ---- mmt + output ---------------------------------------------------
         def one_pass(prev_inds):
+            # module instances are created HERE so the eval path can run
+            # this under nn.scan (params broadcast across decode steps).
+            # The names match the train path exactly, so the param tree is
+            # identical whichever path materializes it (eval-init ->
+            # train-apply must keep working).
+            mmt = MMT(mmt_cfg, name="mmt")
+            ocr_ptr_net = OcrPtrNet(
+                hidden_size=hidden,
+                query_key_size=c["classifier"]["ocr_ptr_net"].get(
+                    "query_key_size", None
+                ),
+                name="ocr_ptr_net",
+            )
             res = mmt(
                 txt_emb, txt_mask, obj_mmt_in, obj_mask, ocr_mmt_in,
                 ocr_mask, classifier_w, prev_inds, deterministic,
@@ -330,16 +338,45 @@ class M4C(BaseModel):
         if train:
             scores = one_pass(train_prev_inds)
         else:
+            # scan-based greedy decode (SURVEY §3.4): ONE compiled MMT
+            # body instead of dec_step_num unrolled copies in the HLO.
+            # Same numerics as the reference's recompute-everything loop
+            # (m4c.py:284-304); carry = (feedback indices, last scores).
             dec_step_num = train_prev_inds.shape[1]
             bos_idx = int(self.config.get("bos_idx", 1))
             prev_inds = jnp.zeros_like(train_prev_inds)
             prev_inds = prev_inds.at[:, 0].set(bos_idx)
-            scores = None
-            # unrolled greedy decode inside one jit: params shared across
-            # steps via linen instance reuse
-            for _ in range(dec_step_num):
-                scores = one_pass(prev_inds)
-                argmax_inds = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-                prev_inds = prev_inds.at[:, 1:].set(argmax_inds[:, :-1])
+
+            def decode_step(mdl, carry, _):
+                inds, _ = carry
+                s = one_pass(inds).astype(jnp.float32)
+                argmax_inds = jnp.argmax(s, axis=-1).astype(jnp.int32)
+                new_inds = inds.at[:, 1:].set(argmax_inds[:, :-1])
+                return (new_inds, s), None
+
+            scores_shape = (
+                train_prev_inds.shape[0],
+                dec_step_num,
+                num_choices + ocr_mask.shape[-1],
+            )
+            # measured on v5e (B=32, tools/benchmarks/prof_m4c_decode.py):
+            # scan: 44 s compile, 430 samples/s; full unroll: 297 s
+            # compile, 650 samples/s; unroll=4: 330 s compile, 589
+            # samples/s. Scan wins total wall-clock for any realistic
+            # eval split (compile dominates), so it is the default;
+            # decode_unroll=12 recovers peak steady-state throughput.
+            unroll = int(self.config.get("decode_unroll", 1))
+            scan = nn.scan(
+                decode_step,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": False},
+                length=dec_step_num,
+                unroll=min(unroll, dec_step_num),
+            )
+            (_, scores), _ = scan(
+                self,
+                (prev_inds, jnp.zeros(scores_shape, jnp.float32)),
+                None,
+            )
 
         return {"scores": scores}
