@@ -455,6 +455,30 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
     # ------------------------------------------------------------------
     # evaluation (reference core/evaluation_loop.py:18-177)
     # ------------------------------------------------------------------
+    def _resolve_eval_limit(self, loader):
+        """PL-style ``evaluation.limit_val_batches`` (also reachable via
+        ``trainer.params.limit_val_batches`` through the lightning
+        adapter): int = batch count, float < 1.0 = fraction of the
+        loader, 0 = skip evaluation entirely."""
+        limit = (self.config.get("evaluation", {}) or {}).get(
+            "limit_val_batches", None
+        )
+        if limit is None or isinstance(limit, bool):
+            return None
+        if isinstance(limit, float):
+            if limit >= 1.0:
+                return None
+            try:
+                total = len(loader)
+            except TypeError:
+                logger.warning(
+                    "evaluation.limit_val_batches is a fraction but the "
+                    "loader has no length; running the full split"
+                )
+                return None
+            return max(1, int(total * limit))
+        return max(0, int(limit))
+
     def evaluation_loop(self, dataset_type: str, use_tqdm: bool = False,
                         single_batch: bool = False):
         """Accumulates reports on HOST numpy — the reference's
@@ -464,6 +488,10 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         loader = getattr(self, f"{dataset_type}_loader")
         meter = Meter()
         combined_report = None
+        max_batches = self._resolve_eval_limit(loader)
+        if max_batches == 0:
+            loader = []
+        n_batches = 0
         torchmetrics = getattr(self, "torchmetrics", None)
         if torchmetrics is not None:
             torchmetrics.reset()
@@ -524,7 +552,10 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                     moved_report, self.metrics_params
                 )
                 combined_report.batch_size += moved_report.batch_size
-            if single_batch:
+            n_batches += 1
+            if single_batch or (
+                max_batches is not None and n_batches >= max_batches
+            ):
                 break
 
         if combined_report is not None and torchmetrics is not None:
