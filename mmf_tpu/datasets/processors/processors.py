@@ -16,7 +16,8 @@ import logging
 import os
 import random
 import warnings
-from collections import defaultdict
+from collections import Counter, defaultdict
+from itertools import islice, product
 from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
@@ -330,19 +331,23 @@ class VQAAnswerProcessor(BaseProcessor):
         return self.answer_vocab.idx2word(idx)
 
     def compute_answers_scores(self, answers_indices):
-        """(reference processors.py:686-713)"""
+        """Soft VQA-accuracy target per vocab index (the contract of
+        reference processors.py:686-713, in closed form).
+
+        The VQA metric averages, over the 10 annotators, the leave-one-
+        out accuracy min(1, matches_among_other_9 / 3). With c = count
+        of a candidate among the 10 answers, each of the c annotators
+        who gave it sees c-1 matches and each of the 10-c others sees
+        c, so the average collapses to a function of c alone."""
         scores = np.zeros(self.get_vocab_size(), np.float32)
-        gt_answers = list(enumerate(answers_indices))
-        unique_answers = set(answers_indices.tolist())
-        for answer in unique_answers:
-            accs = []
-            for gt_answer in gt_answers:
-                other = [item for item in gt_answers if item != gt_answer]
-                matching = [item for item in other if item[1] == answer]
-                accs.append(min(1, float(len(matching)) / 3))
-            avg_acc = sum(accs) / len(accs)
-            if answer != self.answer_vocab.UNK_INDEX:
-                scores[answer] = avg_acc
+        indices = [int(i) for i in answers_indices]
+        n = len(indices)
+        for answer, c in Counter(indices).items():
+            if answer == self.answer_vocab.UNK_INDEX:
+                continue
+            held_in = min(1.0, (c - 1) / 3.0)
+            held_out = min(1.0, c / 3.0)
+            scores[answer] = (c * held_in + (n - c) * held_out) / n
         return scores
 
     def _increase_to_ten(self, tokens):
@@ -604,33 +609,29 @@ class M4CAnswerProcessor(BaseProcessor):
 
     def match_answer_to_vocab_ocr_seq(self, answer, vocab2idx_dict,
                                       ocr2inds_dict, max_match_num=20):
-        """(reference processors.py:1464-1505)"""
+        """Every way to spell ``answer`` as a sequence of decoder indices,
+        where each word may come from the fixed vocab (index < num_vocab)
+        or be copied from any OCR token slot (num_vocab + slot). Returns
+        the first ``max_match_num`` sequences in prefix-major order, or
+        [] when some word is spellable neither way (contract of
+        reference processors.py:1464-1505)."""
         num_vocab = len(vocab2idx_dict)
-        answer_words = self.tokenize(answer)
-        answer_word_matches = []
-        for word in answer_words:
-            matched_inds = []
+        per_word = []
+        for word in self.tokenize(answer):
+            choices = []
             if word in vocab2idx_dict:
-                matched_inds.append(vocab2idx_dict.get(word))
-            matched_inds.extend(
-                [num_vocab + idx for idx in ocr2inds_dict[word]]
-            )
-            if len(matched_inds) == 0:
-                if self.match_answer_to_unk:
-                    matched_inds.append(vocab2idx_dict.get("<unk>"))
-                else:
+                choices.append(vocab2idx_dict[word])
+            choices += [num_vocab + slot for slot in ocr2inds_dict[word]]
+            if not choices:
+                if not self.match_answer_to_unk:
                     return []
-            answer_word_matches.append(matched_inds)
-        if len(answer_word_matches) == 0:
+                choices.append(vocab2idx_dict.get("<unk>"))
+            per_word.append(choices)
+        if not per_word:
             return []
-        idx_seq_list = [()]
-        for matched_inds in answer_word_matches:
-            idx_seq_list = [
-                seq + (idx,) for seq in idx_seq_list for idx in matched_inds
-            ]
-            if len(idx_seq_list) > max_match_num:
-                idx_seq_list = idx_seq_list[:max_match_num]
-        return idx_seq_list
+        # itertools.product enumerates prefix-major, which makes islice
+        # equivalent to the stage-wise truncation the torch code does
+        return list(islice(product(*per_word), max_match_num))
 
     def get_vocab_size(self):
         return self.answer_vocab.num_vocab + self.max_length
@@ -639,19 +640,16 @@ class M4CAnswerProcessor(BaseProcessor):
         return self.answer_vocab.num_vocab
 
     def compute_answer_scores(self, answers):
-        gt_answers = list(enumerate(answers))
-        unique_answers = sorted(set(answers))
-        unique_answer2score = {}
-        for unique_answer in unique_answers:
-            accs = []
-            for gt_answer in gt_answers:
-                other = [item for item in gt_answers if item != gt_answer]
-                matching = [
-                    item for item in other if item[1] == unique_answer
-                ]
-                accs.append(min(1, float(len(matching)) / 3))
-            unique_answer2score[unique_answer] = sum(accs) / len(accs)
-        return unique_answer2score
+        """answer string -> soft VQA accuracy, closed form over the
+        answer multiset (see VQAAnswerProcessor.compute_answers_scores
+        for the derivation)."""
+        n = len(answers)
+        scores = {}
+        for answer, c in Counter(answers).items():
+            held_in = min(1.0, (c - 1) / 3.0)
+            held_out = min(1.0, c / 3.0)
+            scores[answer] = (c * held_in + (n - c) * held_out) / n
+        return scores
 
     def __call__(self, item):
         answers = item["answers"]
@@ -664,47 +662,49 @@ class M4CAnswerProcessor(BaseProcessor):
             self.answer_preprocessor({"text": a})["text"] for a in answers
         ]
         assert len(answers) == self.num_answers
-        unique_answer2score = self.compute_answer_scores(answers)
+        answer_score = self.compute_answer_scores(answers)
 
+        # OCR token string -> the copy slots it occupies (may repeat)
+        ocr_slots = defaultdict(list)
+        for slot, token in enumerate(item["tokens"]):
+            ocr_slots[token].append(slot)
+
+        # step-0 targets: every spelling's first index earns the soft
+        # accuracy of its answer (max over answers sharing a first index)
         scores = np.zeros(
             (self.max_copy_steps, self.get_vocab_size()), np.float32
         )
-        ocr2inds_dict = defaultdict(list)
-        for idx, token in enumerate(item["tokens"]):
-            ocr2inds_dict[token].append(idx)
-        answer_dec_inds = [
-            self.match_answer_to_vocab_ocr_seq(
-                a, self.answer_vocab.word2idx_dict, ocr2inds_dict
+        candidate_seqs = []
+        for answer in answers:
+            seqs = self.match_answer_to_vocab_ocr_seq(
+                answer, self.answer_vocab.word2idx_dict, ocr_slots
             )
-            for a in answers
-        ]
+            candidate_seqs += seqs
+            for seq in seqs:
+                scores[0, seq[0]] = max(
+                    scores[0, seq[0]], answer_score[answer]
+                )
 
-        all_idx_seq_list = []
-        for answer, idx_seq_list in zip(answers, answer_dec_inds):
-            all_idx_seq_list.extend(idx_seq_list)
-            score = unique_answer2score[answer]
-            for idx_seq in idx_seq_list:
-                score_idx = idx_seq[0]
-                scores[0, score_idx] = max(scores[0, score_idx], score)
-
+        # teacher forcing targets from ONE uniformly sampled spelling:
+        # BOS then the sequence shifted right; the step after the last
+        # in-range index targets EOS
         train_prev_inds = np.zeros(self.max_copy_steps, np.int64)
         train_loss_mask = np.zeros(self.max_copy_steps, np.float32)
-        if len(all_idx_seq_list) > 0:
-            idx_seq = all_idx_seq_list[np.random.choice(len(all_idx_seq_list))]
-            dec_step_num = min(1 + len(idx_seq), self.max_copy_steps)
-            train_loss_mask[:dec_step_num] = 1.0
+        sampled = ()
+        if candidate_seqs:
+            sampled = candidate_seqs[np.random.choice(len(candidate_seqs))]
+            steps = min(1 + len(sampled), self.max_copy_steps)
+            train_loss_mask[:steps] = 1.0
             train_prev_inds[0] = self.BOS_IDX
-            for t in range(1, dec_step_num):
-                train_prev_inds[t] = idx_seq[t - 1]
-                score_idx = idx_seq[t] if t < len(idx_seq) else self.EOS_IDX
-                scores[t, score_idx] = 1.0
-        else:
-            idx_seq = ()
+            train_prev_inds[1:steps] = sampled[: steps - 1]
+            for t in range(1, steps):
+                target = sampled[t] if t < len(sampled) else self.EOS_IDX
+                scores[t, target] = 1.0
 
         return {
             "answers": answers,
             "answers_scores": scores,
-            "sampled_idx_seq": idx_seq,
+            "sampled_idx_seq": sampled,
             "train_prev_inds": train_prev_inds,
             "train_loss_mask": train_loss_mask,
         }
