@@ -46,19 +46,19 @@ class Processor:
     def __init__(self, config, *args, **kwargs):
         if "type" not in config:
             raise AttributeError(
-                "Config must have 'type' attribute to specify type of processor"
+                "Processor config needs a 'type' key naming a registered processor"
             )
         processor_class = registry.get_processor_class(config["type"])
         if processor_class is None:
             raise ValueError(
-                f"No processor class named {config['type']} is defined."
+                f"Unknown processor type {config['type']!r}: nothing is "
+                f"registered under that key"
             )
         params = {}
         if "params" not in config:
             logger.warning(
-                "Config doesn't have 'params' attribute to specify "
-                f"parameters of the processor of type {config['type']}. "
-                "Setting to default {}"
+                f"Processor '{config['type']}' configured without a "
+                "'params' block; instantiating with defaults"
             )
         else:
             params = config["params"]
@@ -69,14 +69,14 @@ class Processor:
         return self.processor(item, *args, **kwargs)
 
     def __getattr__(self, name):
-        if "_dir_representation" in self.__dict__ and name in self._dir_representation:
-            return getattr(self, name)
-        elif "processor" in self.__dict__ and hasattr(self.processor, name):
-            return getattr(self.processor, name)
-        else:
-            raise AttributeError(
-                f"The processor {name} doesn't exist in the registry."
-            )
+        # reached only when normal attribute lookup fails: delegate to
+        # the wrapped processor instance
+        wrapped = self.__dict__.get("processor")
+        if wrapped is not None and hasattr(wrapped, name):
+            return getattr(wrapped, name)
+        raise AttributeError(
+            f"Neither the wrapper nor the wrapped processor has {name!r}"
+        )
 
 
 class BatchProcessor(BaseProcessor):
@@ -109,7 +109,7 @@ class VocabProcessor(BaseProcessor):
     def __init__(self, config, *args, **kwargs):
         if not config.get("vocab"):
             raise AttributeError(
-                "config passed to the processor has no attribute vocab"
+                "VocabProcessor needs a 'vocab' block in its config"
             )
         from mmf_tpu.utils.vocab import Vocab
 
@@ -122,8 +122,8 @@ class VocabProcessor(BaseProcessor):
             self.max_length = config["max_length"]
         else:
             warnings.warn(
-                "No 'max_length' parameter in Processor's configuration. "
-                f"Setting to {self.MAX_LENGTH_DEFAULT}."
+                f"VocabProcessor: max_length not configured; padding "
+                f"to the default of {self.MAX_LENGTH_DEFAULT} tokens"
             )
             self.max_length = self.MAX_LENGTH_DEFAULT
         if "preprocessor" in config:
@@ -133,8 +133,8 @@ class VocabProcessor(BaseProcessor):
         indices = None
         if not isinstance(item, dict):
             raise TypeError(
-                "Argument passed to the processor must be a dict with either "
-                "'text' or 'tokens' as keys"
+                "VocabProcessor input must be a dict carrying 'text' "
+                "or 'tokens'"
             )
         if "tokens" in item:
             tokens = item["tokens"]
@@ -142,15 +142,14 @@ class VocabProcessor(BaseProcessor):
         elif "text" in item:
             if self.preprocessor is None:
                 raise AssertionError(
-                    "If tokens are not provided, a text preprocessor must "
-                    "be defined in the config"
+                    "Raw 'text' input needs a configured preprocessor "
+                    "to tokenize it first"
                 )
             tokens = self.preprocessor({"text": item["text"]})["text"]
             indices = self._map_strings_to_indices(tokens)
         else:
             raise AssertionError(
-                "A dict with either 'text' or 'tokens' keys must be passed "
-                "to the processor"
+                "VocabProcessor input carries neither 'text' nor 'tokens'"
             )
         tokens, length = self._pad_tokens(tokens)
         return {"text": indices, "tokens": tokens, "length": length}
@@ -186,15 +185,15 @@ class GloVeProcessor(VocabProcessor):
     def __init__(self, config, *args, **kwargs):
         if not config.get("vocab"):
             raise AttributeError(
-                "Config passed to the processor has no attribute vocab"
+                "GloVeProcessor needs a 'vocab' block in its config"
             )
         vocab_processor_config = dict(config)
         vocab_processor_config["vocab"] = dict(config["vocab"])
         vocab_processor_config["vocab"]["type"] = "intersected"
         if "vocab_file" not in vocab_processor_config["vocab"]:
             warnings.warn(
-                "'vocab_file' key is not present in the config. "
-                "Switching to pretrained vocab."
+                "GloVeProcessor: no vocab_file given; falling back to "
+                "the full pretrained GloVe vocabulary"
             )
             vocab_processor_config["vocab"]["type"] = "pretrained"
         super().__init__(vocab_processor_config, *args, **kwargs)
@@ -264,8 +263,7 @@ class VQAAnswerProcessor(BaseProcessor):
     def __init__(self, config, *args, **kwargs):
         if "vocab_file" not in config:
             raise AttributeError(
-                "'vocab_file' argument required, but not present in "
-                "AnswerProcessor's config"
+                "Answer processors need 'vocab_file' in their config"
             )
         self.answer_vocab = VocabDict(
             config["vocab_file"], kwargs.get("data_dir", None)
@@ -285,14 +283,14 @@ class VQAAnswerProcessor(BaseProcessor):
     def __call__(self, item):
         tokens = []
         if not isinstance(item, dict):
-            raise TypeError("'item' passed to processor must be a dict")
+            raise TypeError("Answer processor input must be a dict")
         if "answer_tokens" in item:
             tokens = item["answer_tokens"]
         elif "answers" in item and item["answers"] is not None:
             if self.preprocessor is None:
                 raise AssertionError(
-                    "'preprocessor' must be defined if you don't pass "
-                    "'answer_tokens'"
+                    "Raw 'answers' need a configured preprocessor; pass "
+                    "'answer_tokens' to skip preprocessing"
                 )
             tokens = [
                 self.preprocessor({"text": answer})["text"]
@@ -300,8 +298,8 @@ class VQAAnswerProcessor(BaseProcessor):
             ]
         else:
             raise AssertionError(
-                "'answers' or 'answer_tokens' must be passed to answer "
-                "processor in a dict"
+                "Answer processor input carries neither 'answers' nor "
+                "'answer_tokens'"
             )
         if len(tokens) != 0:
             tokens = self._increase_to_ten(tokens)
@@ -395,8 +393,8 @@ class SoftCopyAnswerProcessor(VQAAnswerProcessor):
         else:
             self.max_length = self.DEFAULT_MAX_LENGTH
             warnings.warn(
-                "'max_length' not defined in the config. Setting to default "
-                f"of {self.DEFAULT_MAX_LENGTH}"
+                "SoftCopyAnswerProcessor: max_length not configured; "
+                f"using {self.DEFAULT_MAX_LENGTH} copy slots"
             )
         self.context_preprocessor = None
         if "context_preprocessor" in config:
@@ -420,22 +418,22 @@ class SoftCopyAnswerProcessor(VQAAnswerProcessor):
         tokens = item["tokens"]
         length = min(len(tokens), self.max_length)
 
-        gt_answers = list(enumerate(answers))
         if self.context_preprocessor is not None:
             tokens = [
                 self.context_preprocessor({"text": token})["text"]
                 for token in tokens
             ]
-        answer_counter = collections.Counter(answers)
-        for idx, token in enumerate(tokens[:length]):
-            if answer_counter[token] == 0:
+        # each OCR copy slot earns the soft VQA accuracy of its token
+        # string — same closed form as compute_answers_scores
+        n = len(answers)
+        counts = Counter(answers)
+        for slot, token in enumerate(tokens[:length]):
+            c = counts[token]
+            if c == 0:
                 continue
-            accs = []
-            for gt_answer in gt_answers:
-                other = [item for item in gt_answers if item != gt_answer]
-                matching = [item for item in other if item[1] == token]
-                accs.append(min(1, float(len(matching)) / 3))
-            tokens_scores[idx] = sum(accs) / len(accs)
+            held_in = min(1.0, (c - 1) / 3.0)
+            held_out = min(1.0, c / 3.0)
+            tokens_scores[slot] = (c * held_in + (n - c) * held_out) / n
 
         # scores are already vocab+copy sized (compute_answers_scores uses
         # the overridden get_vocab_size); fill the copy span
@@ -496,7 +494,7 @@ class CaptionProcessor(BaseProcessor):
     def __init__(self, config, *args, **kwargs):
         if not config.get("vocab"):
             raise AttributeError(
-                "config passed to the processor has no attribute vocab"
+                "VocabProcessor needs a 'vocab' block in its config"
             )
         from mmf_tpu.utils.vocab import Vocab
 

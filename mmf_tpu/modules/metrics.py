@@ -38,45 +38,47 @@ class Metrics:
     def _init_metrics(self, metric_list):
         metrics = {}
         self.required_params = {"dataset_name", "dataset_type"}
-        for metric in metric_list:
-            params = {}
-            dataset_names = []
-            if isinstance(metric, collections.abc.Mapping):
-                if "type" not in metric:
-                    raise ValueError(
-                        f"Metric {metric} needs to have 'type' attribute "
-                        "or should be a string"
-                    )
-                metric_type = key = metric["type"]
-                params = metric.get("params", {})
-                if "key" in metric:
-                    key = metric["key"]
-                if key in metrics:
-                    raise RuntimeError(
-                        f"Metric with type/key '{metric_type}' has been "
-                        "defined more than once in metric list."
-                    )
-                if "datasets" in metric:
-                    dataset_names = metric["datasets"]
-            else:
-                if not isinstance(metric, str):
-                    raise TypeError(
-                        f"Metric {metric} has inappropriate type; "
-                        "'dict' or 'str' allowed"
-                    )
-                metric_type = key = metric
-
-            metric_cls = registry.get_metric_class(metric_type)
-            if metric_cls is None:
-                raise ValueError(
-                    f"No metric named {metric_type} registered to registry"
-                )
-            metric_instance = metric_cls(**params)
-            metric_instance.name = key
-            metric_instance.set_applicable_datasets(dataset_names)
-            metrics[key] = metric_instance
-            self.required_params.update(metric_instance.required_params)
+        for entry in metric_list:
+            key, instance = self._build_one(entry, metrics)
+            metrics[key] = instance
+            self.required_params.update(instance.required_params)
         return metrics
+
+    @staticmethod
+    def _build_one(entry, existing):
+        """One metric-list entry (plain string, or a mapping with
+        type/key/params/datasets) -> (report key, metric instance)."""
+        params, dataset_names = {}, []
+        if isinstance(entry, str):
+            metric_type = key = entry
+        elif isinstance(entry, collections.abc.Mapping):
+            if "type" not in entry:
+                raise ValueError(
+                    f"Metric config {entry} carries no 'type' key"
+                )
+            metric_type = entry["type"]
+            key = entry.get("key", metric_type)
+            params = entry.get("params", {})
+            dataset_names = entry.get("datasets", [])
+            if key in existing:
+                raise RuntimeError(
+                    f"Duplicate metric key '{key}' in the metric list"
+                )
+        else:
+            raise TypeError(
+                f"Metric entry must be a str or mapping, got "
+                f"{type(entry).__name__}"
+            )
+        cls = registry.get_metric_class(metric_type)
+        if cls is None:
+            raise ValueError(
+                f"Unknown metric '{metric_type}': nothing registered "
+                "under that key"
+            )
+        instance = cls(**params)
+        instance.name = key
+        instance.set_applicable_datasets(dataset_names)
+        return key, instance
 
     def __call__(self, sample_list, model_output=None, *args, **kwargs):
         if model_output is None:

@@ -244,49 +244,37 @@ class Vocab:
     """Dispatcher (reference vocab.py:20-75)."""
 
     def __init__(self, *args, **params):
+        # type key -> (implementation, required params)
+        kinds = {
+            "random": (BaseVocab, ("vocab_file",)),
+            "custom": (CustomVocab, ("vocab_file", "embedding_file")),
+            "pretrained": (PretrainedVocab, ()),
+            "intersected": (IntersectedVocab,
+                            ("vocab_file", "embedding_name")),
+            "extracted": (ExtractedVocab, ("base_path", "emb_dim")),
+            "model": (ModelVocab, ("name", "model_file")),
+        }
         vocab_type = params.get("type", "pretrained")
-        if vocab_type == "random":
-            if params.get("vocab_file") is None:
-                raise ValueError("No vocab path passed for vocab")
-            self.vocab = BaseVocab(*args, **params)
-        elif vocab_type == "custom":
-            if params.get("vocab_file") is None or params.get(
-                "embedding_file"
-            ) is None:
-                raise ValueError("No vocab path or embedding_file passed")
-            self.vocab = CustomVocab(*args, **params)
-        elif vocab_type == "pretrained":
-            self.vocab = PretrainedVocab(*args, **params)
-        elif vocab_type == "intersected":
-            if params.get("vocab_file") is None or params.get(
-                "embedding_name"
-            ) is None:
-                raise ValueError("No vocab path or embedding_name passed")
-            self.vocab = IntersectedVocab(*args, **params)
-        elif vocab_type == "extracted":
-            if params.get("base_path") is None or params.get("emb_dim") is None:
-                raise ValueError("No base_path or emb_dim passed")
-            self.vocab = ExtractedVocab(*args, **params)
-        elif vocab_type == "model":
-            if params.get("name") is None or params.get("model_file") is None:
-                raise ValueError("No name or model_file passed")
-            self.vocab = ModelVocab(*args, **params)
-        else:
+        if vocab_type not in kinds:
             raise ValueError(f"Unknown vocab type: {vocab_type}")
-        self._dir_representation = dir(self)
+        impl, required = kinds[vocab_type]
+        missing = [key for key in required if params.get(key) is None]
+        if missing:
+            raise ValueError(
+                f"Vocab type '{vocab_type}' requires {missing} in params"
+            )
+        self.vocab = impl(*args, **params)
 
     def __call__(self, *args, **kwargs):
         return self.vocab(*args, **kwargs)
 
     def __getattr__(self, name):
-        if "_dir_representation" in self.__dict__ and name in self._dir_representation:
-            return getattr(self, name)
-        elif "vocab" in self.__dict__ and hasattr(self.vocab, name):
-            return getattr(self.vocab, name)
-        else:
-            type_vocab = "Vocab"
-            if "vocab" in self.__dict__:
-                type_vocab = type(self.vocab).__name__
-            raise AttributeError(
-                f"{type_vocab} vocab type has no attribute {name}."
-            )
+        # reached only when normal lookup fails: delegate to the
+        # concrete vocab implementation
+        inner = self.__dict__.get("vocab")
+        if inner is not None and hasattr(inner, name):
+            return getattr(inner, name)
+        raise AttributeError(
+            f"{type(inner).__name__ if inner else 'Vocab'} has no "
+            f"attribute {name!r}"
+        )

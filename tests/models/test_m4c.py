@@ -115,3 +115,22 @@ def test_m4c_loss_integration():
     loss = MMFLoss("m4c_decoding_bce_with_mask")(batch, out)
     v = float(list(loss.values())[0])
     assert np.isfinite(v) and v > 0
+
+
+def test_m4c_eval_init_then_train_apply():
+    """Params materialized under the scan-based eval decode must be the
+    SAME tree the train path uses (nn.scan variable_broadcast keeps
+    param paths unchanged), in both init directions."""
+    registry.register("textvqa_num_final_outputs", 20)
+    cls = registry.get_model_class("m4c")
+    model = cls(config=_small_m4c())
+    batch = _batch()
+
+    eval_vars = model.init(RNG, batch, False)  # decode runs under nn.scan
+    out = model.apply(eval_vars, batch, True, rngs={"dropout": RNG})
+    assert out["scores"].shape == (2, 4, 20)
+
+    train_vars = model.init({"params": RNG, "dropout": RNG}, batch, True)
+    assert jax.tree_util.tree_structure(eval_vars) == (
+        jax.tree_util.tree_structure(train_vars)
+    )
