@@ -147,6 +147,49 @@ class MMT(nn.Module):
             "mmt_dec_output": seq[:, -dec_max_num:],
         }
 
+    def prefill(self, txt_emb, txt_mask, obj_emb, obj_mask, ocr_emb,
+                ocr_mask, deterministic=True):
+        """Encode the decode-invariant [txt, obj, ocr] prefix ONCE.
+
+        In the prefix-LM mask, prefix queries never see decode keys
+        (their mask entries are 0), so prefix hidden states — and hence
+        each layer's K/V projections of prefix tokens — are identical on
+        every greedy-decode step. Returns (prefix seq output, per-layer
+        prefix K/V cache, prefix mask) for ``decode_step``. Numerically
+        identical to the prefix rows of a full pass: the -10000 bias on
+        decode keys underflows to exactly 0 weight after the softmax
+        max-subtraction."""
+        enc_in = jnp.concatenate([txt_emb, obj_emb, ocr_emb], axis=1)
+        enc_mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
+        bias = (1.0 - enc_mask[:, None, None, :]) * -10000.0
+        seq, kvs = self.encoder(
+            enc_in, bias=bias, deterministic=deterministic, return_kv=True
+        )
+        return seq, kvs, enc_mask
+
+    def decode_step(self, prefix_kvs, enc_mask, fixed_ans_emb, ocr_emb,
+                    prev_inds, deterministic=True):
+        """One greedy-decode pass over ONLY the decode tokens: each layer
+        attends over [cached prefix K/V ; causal decode K/V]. Per-step
+        compute drops from O(S_prefix + S_dec) tokens to O(S_dec)."""
+        dec_emb = self.prev_pred_embeddings(
+            fixed_ans_emb, ocr_emb, prev_inds, deterministic
+        )
+        B, T = dec_emb.shape[:2]
+        enc_part = jnp.broadcast_to(
+            enc_mask[:, None, None, :].astype(jnp.float32),
+            (B, 1, T, enc_mask.shape[-1]),
+        )
+        causal = jnp.broadcast_to(
+            jnp.tril(jnp.ones((T, T), jnp.float32))[None, None],
+            (B, 1, T, T),
+        )
+        bias = (1.0 - jnp.concatenate([enc_part, causal], -1)) * -10000.0
+        return self.encoder(
+            dec_emb, bias=bias, deterministic=deterministic,
+            prefix_kvs=prefix_kvs,
+        )
+
 
 class OcrPtrNet(nn.Module):
     """Dynamic pointer scores over OCR tokens (reference m4c.py:459-490)."""
@@ -206,6 +249,18 @@ class M4C(BaseModel):
                     "intermediate_size", tb.get("hidden_size", 768) * 4
                 ),
             }
+        )
+
+    def setup(self):
+        # setup-defined (not compact-inline) so the eval decode scan can
+        # reach them through the module passed to nn.scan
+        mmt_cfg = self._mmt_cfg()
+        self.mmt = MMT(mmt_cfg)
+        self.ocr_ptr_net = OcrPtrNet(
+            hidden_size=mmt_cfg.hidden_size,
+            query_key_size=self.config["classifier"]["ocr_ptr_net"].get(
+                "query_key_size", None
+            ),
         )
 
     def _num_choices(self):
@@ -311,45 +366,51 @@ class M4C(BaseModel):
         ocr_mask = _get_mask(ocr_nums, ocr_mmt_in.shape[1])
 
         # ---- mmt + output ---------------------------------------------------
-        def one_pass(prev_inds):
-            # module instances are created HERE so the eval path can run
-            # this under nn.scan (params broadcast across decode steps).
-            # The names match the train path exactly, so the param tree is
-            # identical whichever path materializes it (eval-init ->
-            # train-apply must keep working).
-            mmt = MMT(mmt_cfg, name="mmt")
-            ocr_ptr_net = OcrPtrNet(
-                hidden_size=hidden,
-                query_key_size=c["classifier"]["ocr_ptr_net"].get(
-                    "query_key_size", None
-                ),
-                name="ocr_ptr_net",
-            )
-            res = mmt(
+        train_prev_inds = sample_list["train_prev_inds"].astype(jnp.int32)
+        if train:
+            res = self.mmt(
                 txt_emb, txt_mask, obj_mmt_in, obj_mask, ocr_mmt_in,
-                ocr_mask, classifier_w, prev_inds, deterministic,
+                ocr_mask, classifier_w, train_prev_inds, deterministic,
             )
             dec = res["mmt_dec_output"]
             fixed_scores = dec @ classifier_w.T + classifier_b
-            dyn = ocr_ptr_net(dec, res["mmt_ocr_output"], ocr_mask)
-            return jnp.concatenate([fixed_scores, dyn], axis=-1)
-
-        train_prev_inds = sample_list["train_prev_inds"].astype(jnp.int32)
-        if train:
-            scores = one_pass(train_prev_inds)
+            dyn = self.ocr_ptr_net(dec, res["mmt_ocr_output"], ocr_mask)
+            scores = jnp.concatenate([fixed_scores, dyn], axis=-1)
         else:
-            # scan-based greedy decode (SURVEY §3.4): ONE compiled MMT
-            # body instead of dec_step_num unrolled copies in the HLO.
-            # Same numerics as the reference's recompute-everything loop
-            # (m4c.py:284-304); carry = (feedback indices, last scores).
+            # Incremental greedy decode (SURVEY §3.4 and then some): the
+            # reference recomputes the FULL joint transformer on all 12
+            # decode steps (m4c.py:284-304). Here the decode-invariant
+            # [txt,obj,ocr] prefix is encoded once with its per-layer K/V
+            # cached (see MMT.prefill), and nn.scan pushes only the
+            # decode tokens through the stack per step — one compiled
+            # body, ~S_dec/S_total of the per-step FLOPs, identical
+            # numerics. Carry = (feedback indices, last scores).
             dec_step_num = train_prev_inds.shape[1]
             bos_idx = int(self.config.get("bos_idx", 1))
             prev_inds = jnp.zeros_like(train_prev_inds)
             prev_inds = prev_inds.at[:, 0].set(bos_idx)
 
+            enc_seq, prefix_kvs, enc_mask = self.mmt.prefill(
+                txt_emb, txt_mask, obj_mmt_in, obj_mask, ocr_mmt_in,
+                ocr_mask, deterministic,
+            )
+            txt_max = txt_mask.shape[-1]
+            obj_max = obj_mask.shape[-1]
+            ocr_out = enc_seq[
+                :, txt_max + obj_max: txt_max + obj_max + ocr_mask.shape[-1]
+            ]
+
             def decode_step(mdl, carry, _):
                 inds, _ = carry
-                s = one_pass(inds).astype(jnp.float32)
+                dec = mdl.mmt.decode_step(
+                    prefix_kvs, enc_mask, classifier_w, ocr_mmt_in, inds,
+                    deterministic,
+                )
+                fixed_scores = dec @ classifier_w.T + classifier_b
+                dyn = mdl.ocr_ptr_net(dec, ocr_out, ocr_mask)
+                s = jnp.concatenate(
+                    [fixed_scores, dyn], axis=-1
+                ).astype(jnp.float32)
                 argmax_inds = jnp.argmax(s, axis=-1).astype(jnp.int32)
                 new_inds = inds.at[:, 1:].set(argmax_inds[:, :-1])
                 return (new_inds, s), None
@@ -359,13 +420,15 @@ class M4C(BaseModel):
                 dec_step_num,
                 num_choices + ocr_mask.shape[-1],
             )
-            # measured on v5e (B=32, tools/benchmarks/prof_m4c_decode.py):
-            # scan: 44 s compile, 430 samples/s; full unroll: 297 s
-            # compile, 650 samples/s; unroll=4: 330 s compile, 589
-            # samples/s. Scan wins total wall-clock for any realistic
-            # eval split (compile dominates), so it is the default;
-            # decode_unroll=12 recovers peak steady-state throughput.
-            unroll = int(self.config.get("decode_unroll", 1))
+            # measured on v5e, B=32 (tools/benchmarks/prof_m4c_decode.py;
+            # r1's full-recompute unroll: 297 s compile / 650 samples/s):
+            #   unroll=1: 165 s compile, 839 samples/s
+            #   unroll=4:  74 s compile, 1574 samples/s   <- default
+            #   unroll=12: 369 s compile, 2070 samples/s
+            # scan-iteration overhead (~1.9 ms/iter through this stack)
+            # dwarfs the now-tiny per-step compute, so partial unroll
+            # wins both axes vs r1; decode_unroll tunes the tradeoff.
+            unroll = int(self.config.get("decode_unroll", 4))
             scan = nn.scan(
                 decode_step,
                 variable_broadcast="params",

@@ -72,10 +72,13 @@ class TransformerConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     dtype: Any = jnp.float32
-    # rematerialize each layer on backward: activations are recomputed
-    # instead of stored, trading ~30% step FLOPs for O(layers) less HBM —
-    # the lever for bigger batches (jax.checkpoint per TransformerLayer)
-    remat: bool = False
+    # remat policy for the backward — False (save everything, XLA
+    # decides), True/"full" (recompute the whole layer on backward,
+    # trading ~30% step FLOPs for O(layers) less HBM — the lever for
+    # bigger batches), or "dots"/"dots_no_batch"
+    # (jax.checkpoint_policies: keep matmul outputs, recompute
+    # elementwise). Measured sweep in BENCH_NOTES.md.
+    remat: Any = False
 
     @classmethod
     def from_dict(cls, d, **overrides):
@@ -107,7 +110,13 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv=None, bias=None, deterministic=True,
-                 output_attentions=False):
+                 output_attentions=False, prefix_kv=None, return_kv=False):
+        """``prefix_kv``: cached (k, v) of loop-invariant prefix tokens
+        ([B, H, S_prefix, D] each) prepended to this call's keys/values —
+        the incremental-decode path (e.g. M4C's prefix-LM decoder, where
+        encoder tokens never attend to decoder tokens). ``return_kv``
+        additionally returns this call's own split (k, v) so a prefill
+        pass can build that cache."""
         cfg = self.config
         if kv is None:
             kv = hidden
@@ -122,6 +131,10 @@ class SelfAttention(nn.Module):
             return x.reshape(x.shape[0], x.shape[1], h, d).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        own_kv = (k, v) if return_kv else None
+        if prefix_kv is not None:
+            k = jnp.concatenate([prefix_kv[0], k], axis=2)
+            v = jnp.concatenate([prefix_kv[1], v], axis=2)
         attn_rng = None
         if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
             attn_rng = self.make_rng("dropout")
@@ -141,6 +154,8 @@ class SelfAttention(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
             param_dtype=jnp.float32, name="output_layer_norm"
         )(out + hidden)
+        if return_kv:
+            return out, own_kv
         return out
 
 
@@ -165,11 +180,19 @@ class TransformerLayer(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, hidden, bias=None, deterministic=True):
-        hidden = SelfAttention(self.config, name="attention")(
-            hidden, bias=bias, deterministic=deterministic
+    def __call__(self, hidden, bias=None, deterministic=True,
+                 prefix_kv=None, return_kv=False):
+        attn = SelfAttention(self.config, name="attention")(
+            hidden, bias=bias, deterministic=deterministic,
+            prefix_kv=prefix_kv, return_kv=return_kv,
         )
+        if return_kv:
+            hidden, own_kv = attn
+        else:
+            hidden = attn
         hidden = FeedForward(self.config, name="ffn")(hidden, deterministic)
+        if return_kv:
+            return hidden, own_kv
         return hidden
 
 
@@ -182,23 +205,53 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, bias=None, deterministic=True,
-                 output_hidden_states=False):
+                 output_hidden_states=False, prefix_kvs=None,
+                 return_kv=False):
+        """``prefix_kvs``: per-layer cached (k, v) of loop-invariant
+        prefix tokens (see SelfAttention); ``return_kv`` returns the
+        per-layer (k, v) list alongside the output."""
         n = self.num_layers or self.config.num_hidden_layers
         layer_cls = TransformerLayer
         if self.config.remat:
+            policy = None
+            if isinstance(self.config.remat, str):
+                import jax
+
+                policy = {
+                    "full": None,
+                    "dots": jax.checkpoint_policies.checkpoint_dots,
+                    "dots_no_batch": (
+                        jax.checkpoint_policies
+                        .checkpoint_dots_with_no_batch_dims
+                    ),
+                }[self.config.remat]
             layer_cls = nn.remat(
-                TransformerLayer, static_argnums=(3,)
+                TransformerLayer, static_argnums=(3,), policy=policy
             )
         all_hidden = []
+        all_kv = []
         for i in range(n):
             if output_hidden_states:
                 all_hidden.append(hidden)
-            hidden = layer_cls(self.config, name=f"layer_{i}")(
-                hidden, bias, deterministic
-            )
+            layer = layer_cls(self.config, name=f"layer_{i}")
+            if prefix_kvs is not None or return_kv:
+                out = layer(
+                    hidden, bias, deterministic,
+                    prefix_kv=None if prefix_kvs is None else prefix_kvs[i],
+                    return_kv=return_kv,
+                )
+                if return_kv:
+                    hidden, kv = out
+                    all_kv.append(kv)
+                else:
+                    hidden = out
+            else:
+                hidden = layer(hidden, bias, deterministic)
         if output_hidden_states:
             all_hidden.append(hidden)
             return hidden, all_hidden
+        if return_kv:
+            return hidden, all_kv
         return hidden
 
 

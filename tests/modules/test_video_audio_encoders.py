@@ -60,7 +60,9 @@ def test_frcnn_encoder_region_tokens():
     assert out.shape == (1, 5, 2048)
 
 
-def test_pytorchvideo_still_gated():
-    enc = registry.get_encoder_class("pytorchvideo")()
-    with pytest.raises(NotImplementedError, match="pytorchvideo"):
-        enc.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 3, 16, 16)))
+def test_pytorchvideo_registered():
+    # implemented in modules/video.py (flax SlowFast/MViT trunks);
+    # behavior covered by tests/modules/test_pytorchvideo_encoder.py
+    enc_cls = registry.get_encoder_class("pytorchvideo")
+    assert enc_cls is not None
+    assert enc_cls().out_dim == 2304

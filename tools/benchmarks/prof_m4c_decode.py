@@ -24,7 +24,7 @@ if _REPO not in sys.path:
     sys.path.append(_REPO)
 
 
-def build(batch=32):
+def build(batch=32, decode_unroll=1):
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +35,7 @@ def build(batch=32):
     setup_imports()
     cfg = load_yaml("configs/models/m4c/defaults.yaml")
     mc = cfg["model_config"]["m4c"]
+    mc["decode_unroll"] = decode_unroll
     model = registry.get_model_class("m4c")(config=mc)
 
     rng = np.random.RandomState(0)
@@ -68,12 +69,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--unroll", type=int, default=1)
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    model, variables, batch, meta = build(args.batch)
+    model, variables, batch, meta = build(args.batch, args.unroll)
 
     def eval_many(variables, batch, iters):
         def body(carry, x):
@@ -98,6 +100,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
         "batch": args.batch,
+        "unroll": args.unroll,
         "compile_plus_first_run_s": round(compile_and_first, 2),
         "best_run_s": round(best, 4),
         "samples_per_sec": round(args.batch * args.iters / best, 2),
