@@ -89,6 +89,24 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         logger.info("Loading model")
         from mmf_tpu.models.base_model import build_model
 
+        # training.fp16 is the reference's CUDA-autocast flag
+        # (defaults.yaml:167); the TPU equivalent is bf16 compute with
+        # f32 params (no loss scaling needed). An explicit model dtype
+        # wins over the flag.
+        if self.training_config.get("fp16", False):
+            from mmf_tpu.config import omega
+
+            model_key = self.config.get("model", None)
+            model_cfg = (self.config.get("model_config", {}) or {}).get(
+                model_key, None
+            )
+            if model_cfg is not None and not model_cfg.get("dtype", None):
+                with omega.open_dict(self.config):
+                    model_cfg["dtype"] = "bfloat16"
+                logger.info(
+                    "training.fp16=true: using bf16 compute / f32 params"
+                )
+
         self.model = build_model(self.config)
         self.losses = self.model.build_losses()
         # rng_impl "rbg" uses the TPU's hardware RngBitGenerator for

@@ -248,3 +248,13 @@ def test_streaming_topk_accuracy_values():
     ])
     tm3.update({"targets": targets, "dataset_name": "x"}, {"scores": scores})
     assert tm3.get_scalar_dict()["top_k_accuracy"] == 0.0
+
+
+def test_training_fp16_maps_to_bf16_compute(tmp_path):
+    """training.fp16 (the reference's autocast flag) switches the model
+    to bf16 compute on TPU; an explicit model dtype wins."""
+    t = make_trainer(save_dir=str(tmp_path / "fp16"), **{
+        "training.max_updates": 1, "training.fp16": True,
+    })
+    assert t.config["model_config"]["simple_model"]["dtype"] == "bfloat16"
+    t.train()  # one update runs under bf16 without issue

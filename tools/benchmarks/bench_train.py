@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
-def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
+def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3,
+               remat=False, accum: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -30,9 +31,9 @@ def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
         make_train_step,
     )
 
-    model = _visual_bert({"dtype": dtype})
-    batch = dict(_example_batch(batch_size=batch_size))
-    batch["targets"] = jnp.zeros((batch_size, 3129), jnp.float32)
+    model = _visual_bert({"dtype": dtype, "remat": remat})
+    batch = dict(_example_batch(batch_size=batch_size * accum))
+    batch["targets"] = jnp.zeros((batch_size * accum, 3129), jnp.float32)
     meta = {"dataset_name": "vqa2", "dataset_type": "train"}
 
     variables = model.init(
@@ -46,7 +47,7 @@ def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
         max_grad_norm=1.0,
     )
     step = make_train_step(model.apply, Losses([{"type": "logit_bce"}]),
-                           tx, meta=meta)
+                           tx, update_frequency=accum, meta=meta)
     # match the trainer default (training.rng_impl=rbg): hardware RNG for
     # dropout bits, +24% measured over threefry at these shapes
     state = create_train_state(variables, tx, jax.random.key(2, impl="rbg"))
@@ -72,7 +73,7 @@ def throughput(dtype: str, batch_size: int, iters: int, repeats: int = 3):
         state, loss = run_many(state, batch)
         float(loss)
         best = min(best, time.perf_counter() - t0)
-    return batch_size * iters / best
+    return batch_size * accum * iters / best
 
 
 def main():
@@ -81,16 +82,25 @@ def main():
     parser.add_argument("--dtype", choices=["bfloat16", "float32"],
                         default="bfloat16")
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--remat", default="false",
+                        choices=["false", "full", "dots", "dots_no_batch"],
+                        help="per-layer remat policy for the backward")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="in-step microbatch accumulation (lax.scan)")
     args = parser.parse_args()
     if args.batch_size < 1:
         parser.error("--batch_size must be >= 1")
-    value = throughput(args.dtype, args.batch_size, args.iters)
+    remat = False if args.remat == "false" else args.remat
+    value = throughput(args.dtype, args.batch_size, args.iters,
+                       remat=remat, accum=args.accum)
     print(json.dumps({
         "metric": "VQA2 train samples/sec/chip "
                   f"(VisualBERT-base fused step, {args.dtype})",
         "value": round(value, 2),
         "unit": "samples/sec/chip",
         "batch_size": args.batch_size,
+        "remat": args.remat,
+        "accum": args.accum,
     }))
 
 
