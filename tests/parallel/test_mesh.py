@@ -97,3 +97,64 @@ def test_dryrun_multichip_tp():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # asserts tensor-sharded leaves internally
+
+
+def test_full_model_forward_tp_matches_replicated():
+    """A REAL trunk (tiny VisualBERT) under tensor-parallel param
+    shardings must reproduce the replicated forward bit-for-tolerance —
+    the model-level version of the matmul check above, covering the
+    q/k/v/FFN column rules, output-dense row rule, and vocab-sharded
+    embedding together with GSPMD's inserted collectives."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import __graft_entry__ as g
+
+    model = g._visual_bert(
+        {
+            "vocab_size": 64,
+            "hidden_size": 32,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 4,
+            "intermediate_size": 64,
+            "visual_embedding_dim": 8,
+            "max_position_embeddings": 32,
+            "num_labels": 4,
+            "dtype": "float32",
+        }
+    )
+    B = 8
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 64, (B, 8))),
+        "input_mask": jnp.ones((B, 8), jnp.int32),
+        "segment_ids": jnp.zeros((B, 8), jnp.int32),
+        "image_feature_0": jnp.asarray(
+            rng.randn(B, 4, 8).astype(np.float32)
+        ),
+        "image_info_0": {"max_features": jnp.full((B,), 4, jnp.int32)},
+    }
+    meta = {"dataset_name": "vqa2", "dataset_type": "val"}
+    variables = model.init(jax.random.PRNGKey(0), dict(batch, **meta), False)
+
+    expected = model.apply(variables, dict(batch, **meta), False)["scores"]
+
+    mesh = _mesh(2, 4)
+    tree = mesh_lib.param_sharding_tree(variables, mesh)
+    # the rules must actually shard something on this trunk
+    n_model_sharded = sum(
+        1
+        for leaf in jax.tree_util.tree_leaves(tree)
+        if any(s == "model" for s in jax.tree_util.tree_leaves(
+            tuple(x for x in leaf.spec if x is not None)))
+    )
+    assert n_model_sharded >= 10, n_model_sharded
+
+    sharded_vars = jax.device_put(variables, tree)
+    sharded_batch = jax.device_put(batch, NamedSharding(mesh, P("data")))
+
+    got = jax.jit(
+        lambda v, b: model.apply(v, dict(b, **meta), False)["scores"]
+    )(sharded_vars, sharded_batch)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5
+    )
