@@ -146,7 +146,7 @@ class TextEmbeddingEncoder(Encoder):
     embedding_params: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *args, deterministic=True, **kwargs):
         from mmf_tpu.modules.embeddings import TextEmbedding
 
         p = dict(self.embedding_params or {})
