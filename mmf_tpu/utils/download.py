@@ -70,7 +70,10 @@ class DownloadableFile:
         if os.path.exists(file_path) and self.checksum(download_path):
             logger.info(f"{self._file_name} already present and verified")
         else:
-            download(self._url, download_path, self._file_name)
+            # a present-but-corrupt file is re-fetched, not kept
+            # (reference download.py:142-158 redownload-on-checksum-change)
+            download(self._url, download_path, self._file_name,
+                     redownload=os.path.exists(file_path))
             if not self.checksum(download_path):
                 raise AssertionError(
                     f"Checksum of downloaded file {self._file_name} does not "
