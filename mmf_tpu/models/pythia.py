@@ -130,7 +130,10 @@ class Pythia(BaseModel):
 
 @registry.register_model("pythia_question_only")
 class PythiaQuestionOnly(Pythia):
-    """Text-only ablation (reference pythia.py:332-366)."""
+    """Text-branch-only ablation (reference pythia.py:310-332): the text
+    embedding is zeroed, routed through the combine layer's ``fa_txt`` arm
+    alone, and scored by the classifier's ``linear_text(f_o_text(.))``
+    branch alone — NOT the full combine/classifier on zeroed inputs."""
 
     config: Any = None
 
@@ -140,16 +143,24 @@ class PythiaQuestionOnly(Pythia):
         texts = self._word_embedding(sample_list["text"])
         text_total = self._text_embedding_total(texts, deterministic)
         text_total = jnp.zeros_like(text_total)
-        joint = self._combine(
-            jnp.zeros_like(text_total), text_total, deterministic
-        )
-        scores = self._classify(joint, deterministic)
+        cc = self.config["image_text_modal_combine"]
+        joint = ModalCombineLayer(
+            cc["type"], 0, 0, cc.get("params", {}),
+            name="image_text_multi_modal_combine_layer",
+        )(text_total, text_total, deterministic=deterministic, branch="text")
+        ccl = self.config["classifier"]
+        scores = ClassifierLayer(
+            ccl["type"], 0, self._num_choices(), params=ccl.get("params", {}),
+            name="classifier",
+        )(joint, deterministic, branch="text")
         return {"scores": scores}
 
 
 @registry.register_model("pythia_image_only")
 class PythiaImageOnly(Pythia):
-    """Image-only ablation (reference pythia.py:369-401)."""
+    """Image-branch ablation (reference pythia.py:336-361): image features
+    attended with a zeroed text embedding, routed through the combine
+    layer's ``fa_image`` arm alone, then the full logit classifier."""
 
     config: Any = None
 
@@ -162,7 +173,12 @@ class PythiaImageOnly(Pythia):
         image_total, _ = self._feature_embedding_total(
             "image", sample_list, text_total, deterministic
         )
-        joint = self._combine(image_total, text_total, deterministic)
+        cc = self.config["image_text_modal_combine"]
+        joint = ModalCombineLayer(
+            cc["type"], 0, 0, cc.get("params", {}),
+            name="image_text_multi_modal_combine_layer",
+        )(image_total, image_total, deterministic=deterministic,
+          branch="image")
         scores = self._classify(joint, deterministic)
         return {"scores": scores}
 

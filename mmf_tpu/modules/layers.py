@@ -133,12 +133,16 @@ class LogitClassifier(nn.Module):
     img_hidden_dim: int
 
     @nn.compact
-    def __call__(self, joint_embedding, deterministic=True):
+    def __call__(self, joint_embedding, deterministic=True, branch=None):
+        # branch="text": only linear_text(f_o_text(.)) — the
+        # pythia_question_only scoring path (reference pythia.py:326-328)
         text = nn.Dense(self.out_dim, name="linear_text")(
             ReLUWithWeightNormFC(self.text_hidden_dim, name="f_o_text")(
                 joint_embedding
             )
         )
+        if branch == "text":
+            return text
         image = nn.Dense(self.out_dim, name="linear_image")(
             ReLUWithWeightNormFC(self.img_hidden_dim, name="f_o_image")(
                 joint_embedding
@@ -229,7 +233,7 @@ class ClassifierLayer(nn.Module):
             return LogitClassifier(
                 self.out_dim, p.get("text_hidden_dim", self.in_dim),
                 p.get("img_hidden_dim", self.in_dim), name="module",
-            )(x, deterministic)
+            )(x, deterministic, branch=kwargs.get("branch"))
         if t == "mlp":
             return MLPClassifier(
                 self.out_dim, p.get("hidden_dim"), p.get("num_layers", 0),
@@ -328,7 +332,20 @@ class NonLinearElementMultiply(nn.Module):
 
     @nn.compact
     def __call__(self, image_feat, question_embedding, context_embedding=None,
-                 deterministic=True):
+                 deterministic=True, branch=None):
+        # branch selects a single arm — the pythia_question_only /
+        # pythia_image_only ablations use dropout(fa_txt(t)) or
+        # dropout(fa_image(i)) alone (reference pythia.py:315-357)
+        if branch == "text":
+            question_fa = ReLUWithWeightNormFC(
+                self.hidden_dim, name="fa_txt"
+            )(question_embedding)
+            return nn.Dropout(self.dropout)(question_fa, deterministic)
+        if branch == "image":
+            image_fa = ReLUWithWeightNormFC(
+                self.hidden_dim, name="fa_image"
+            )(image_feat)
+            return nn.Dropout(self.dropout)(image_fa, deterministic)
         image_fa = ReLUWithWeightNormFC(self.hidden_dim, name="fa_image")(
             image_feat
         )

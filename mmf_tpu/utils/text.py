@@ -219,7 +219,7 @@ class BeamSearch(TextDecoder):
         complete_idx = np.where(~incomplete)[0]
         for ci in complete_idx:
             self.complete_seqs.append(self.seqs[ci].tolist())
-            self.complete_seqs_scores.append(float(self.top_k_scores[ci]))
+            self.complete_seqs_scores.append(float(self.top_k_scores[ci, 0]))
 
         keep = np.where(incomplete)[0]
         self.seqs = self.seqs[keep]
