@@ -75,6 +75,21 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             f"Mesh: {dict(self.mesh.shape)} over "
             f"{jax.device_count()} device(s)"
         )
+        # Fail early with a clear message instead of a device_put
+        # divisibility error deep in the first step: every per-process
+        # batch is laid out along the mesh's data axis (shard_batch).
+        from mmf_tpu.utils.general import get_batch_size
+
+        per_process_batch = get_batch_size(self.config)
+        local_data = self.mesh.shape["data"] // jax.process_count()
+        if local_data and per_process_batch % local_data != 0:
+            raise RuntimeError(
+                f"training.batch_size gives {per_process_batch} samples per "
+                f"process, which cannot be split across the mesh's "
+                f"{local_data} local data-parallel device(s). Use a batch "
+                f"size divisible by {local_data}, or set "
+                f"training.batch_size_per_device instead."
+            )
 
     def load_datasets(self):
         logger.info("Loading datasets")

@@ -33,3 +33,9 @@ def _clean_registry_state():
     yield
     registry.mapping["state"].clear()
     registry.mapping["state"].update(saved)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (CLI subprocesses)"
+    )

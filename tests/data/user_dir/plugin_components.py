@@ -21,6 +21,17 @@ class AlwaysOne(BaseModel):
         return {"scores": nn.Dense(1, name="classifier")(x) * 0 + 1.0}
 
 
+@registry.register_model("plugin_linear")
+class PluginLinear(BaseModel):
+    """Trainable linear model for end-to-end CLI runs."""
+
+    config: dict = None
+
+    @nn.compact
+    def __call__(self, sample_list, train=False):
+        return {"scores": nn.Dense(1, name="classifier")(sample_list["data"])}
+
+
 class PluginNumbers(BaseDataset):
     def __init__(self, dataset_type="train"):
         super().__init__("plugin_numbers", {}, dataset_type)
