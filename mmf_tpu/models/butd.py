@@ -39,12 +39,13 @@ class BUTDStep(nn.Module):
     vocab_size: int
     dropout: float = 0.5
     fc_bias_init: float = 0.0
+    attn_dropout: float = 0.5
 
     @nn.compact
     def __call__(self, image_feat, prev_embedding, state, feature_mask,
                  deterministic=True):
         joint, state = TopDownAttentionLSTM(
-            self.attention_dim, self.hidden_dim, self.dropout,
+            self.attention_dim, self.hidden_dim, self.attn_dropout,
             name="top_down_attention",
         )(image_feat, prev_embedding, state, deterministic)
         raw_attn = wn_dense(1, name="attn_transform")(joint)  # [B, K, 1]
@@ -92,9 +93,16 @@ class BUTD(Pythia):
         vocab_size = self._vocab_size()
         max_length = self._max_length()
         hidden_dim = cfg["classifier"]["params"]["hidden_dim"]
-        attention_dim = cfg["attention"]["params"].get(
-            "attention_dim", hidden_dim
-        ) if "attention" in cfg else hidden_dim
+        # attention_dim lives in the modal_combine params (reference
+        # configs/models/butd/defaults.yaml image_feature_embeddings[0]).
+        fe_cfg = cfg.get("image_feature_embeddings", [])
+        if isinstance(fe_cfg, (list, tuple)) and fe_cfg:
+            mc_params = dict(fe_cfg[0].get("modal_combine", {})
+                             .get("params", {}))
+        else:
+            mc_params = {}
+        attention_dim = mc_params.get("attention_dim", hidden_dim)
+        attn_dropout = mc_params.get("dropout", 0.5)
         embedding_dim = cfg.get("embedding_dim", 300)
         inference_type = cfg.get("inference", {}).get("type", "greedy")
 
@@ -125,6 +133,7 @@ class BUTD(Pythia):
             attention_dim, hidden_dim, vocab_size,
             cfg["classifier"]["params"].get("dropout", 0.5),
             cfg["classifier"]["params"].get("fc_bias_init", 0.0),
+            attn_dropout=attn_dropout,
             name="step",
         )
 
@@ -134,7 +143,15 @@ class BUTD(Pythia):
 
         sos = registry.get("butd_sos_index", no_warning=True) or 1
         eos = registry.get("butd_eos_index", no_warning=True) or 2
-        teacher_forcing = train and "text" in sample_list
+        # Teacher forcing whenever ground-truth text is present and we are
+        # not sampling (reference butd.py:57-59): val/test loss over
+        # captions is computed teacher-forced, not from a greedy rollout.
+        # (The reference's gate is `!= "beam_search"` only; combining
+        # nucleus_sampling with teacher forcing mixes decoder state with
+        # full-text slicing there — we treat nucleus like beam search.)
+        teacher_forcing = "text" in sample_list and inference_type not in (
+            "beam_search", "nucleus_sampling"
+        )
 
         if inference_type == "beam_search" and not train:
             # Fixed-beam in-jit beam search — the TPU redesign of the

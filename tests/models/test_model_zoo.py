@@ -136,7 +136,6 @@ def test_butd_teacher_forcing_and_greedy():
         "classifier": {"type": "language_decoder",
                        "params": {"dropout": 0.0, "hidden_dim": 12,
                                   "feature_dim": 64, "fc_bias_init": 0}},
-        "attention": {"params": {"attention_dim": 12}},
         "image_feature_dim": 64,
         "image_feature_encodings": [
             {"type": "default", "params": {"in_dim": 64}}],
@@ -261,7 +260,6 @@ def test_butd_in_jit_beam_search():
         "classifier": {"type": "language_decoder",
                        "params": {"dropout": 0.0, "hidden_dim": 12,
                                   "feature_dim": 64, "fc_bias_init": 0}},
-        "attention": {"params": {"attention_dim": 12}},
         "image_feature_dim": 64,
         "image_feature_encodings": [
             {"type": "default", "params": {"in_dim": 64}}],
@@ -321,7 +319,6 @@ def test_butd_in_jit_nucleus_sampling():
         "classifier": {"type": "language_decoder",
                        "params": {"dropout": 0.0, "hidden_dim": 12,
                                   "feature_dim": 64, "fc_bias_init": 0}},
-        "attention": {"params": {"attention_dim": 12}},
         "image_feature_dim": 64,
         "image_feature_encodings": [
             {"type": "default", "params": {"in_dim": 64}}],
@@ -365,7 +362,6 @@ def test_butd_beam_eval_with_configured_caption_loss():
         "classifier": {"type": "language_decoder",
                        "params": {"dropout": 0.0, "hidden_dim": 12,
                                   "feature_dim": 64, "fc_bias_init": 0}},
-        "attention": {"params": {"attention_dim": 12}},
         "image_feature_dim": 64,
         "image_feature_encodings": [
             {"type": "default", "params": {"in_dim": 64}}],
