@@ -1,7 +1,26 @@
-"""MMFBert: BERT-ified Pythia (parity with mmf/models/mmf_bert.py:418).
+"""MMFBert (parity with mmf/models/mmf_bert.py:418).
 
-Question through a BERT trunk; top-down attention over region features
-conditioned on the pooled question; element-multiply fusion; classifier.
+A BERT-flavoured Pythia: BERT embeddings feed ONE MultiheadAttention
+self-attention layer (not a full encoder stack — reference
+mmf_bert.py:91-92); region features are projected to the text width and
+cross-attended from the text (reference mmf_bert.py:195-280), optionally
+after an intra-attention pass; text and attended-image streams are fused
+with the element-multiply combine layer (``combine_embeddings``); a BERT
+pooler and per-task heads sit on the joint sequence.
+
+Deviations from the reference, on purpose:
+  - the reference's dead ``tie_weights`` (it checks ``hasattr(self,
+    "cls")`` which is never true, reference mmf_bert.py:104-110) is not
+    reproduced; the MLM decoder here is its own matrix, matching the
+    reference's EFFECTIVE (untied) behavior;
+  - ``is_random_next`` is hard-disabled upstream (reference
+    mmf_bert.py:315-317 TODO); we DO compute the next-sentence loss when
+    the batch carries ``is_correct``, since the head exists and the
+    dataset field is real;
+  - an nlvr2 head is actually provided (the reference forward routes
+    nlvr2 to a classifier its build never creates, mmf_bert.py:60-87);
+  - a generic ``classification`` fall-through head (pooled -> transform
+    -> logits) replaces the reference's silent empty-dict return.
 """
 
 from __future__ import annotations
@@ -13,7 +32,15 @@ import jax.numpy as jnp
 
 from mmf_tpu.common.registry import registry
 from mmf_tpu.models.pythia import Pythia
-from mmf_tpu.modules.transformer import TransformerConfig, TransformerModel
+from mmf_tpu.modules.attention import TorchMultiheadAttention
+from mmf_tpu.modules.layers import ModalCombineLayer
+from mmf_tpu.modules.transformer import (
+    MLMHead,
+    Pooler,
+    PredictionHeadTransform,
+    TextEmbeddings,
+    TransformerConfig,
+)
 
 
 @registry.register_model("mmf_bert")
@@ -25,41 +52,125 @@ class MMFBert(Pythia):
         return "configs/models/mmf_bert/defaults.yaml"
 
     def _tcfg(self):
+        import dataclasses
+
         c = self.config
-        return TransformerConfig.from_dict(
-            {
-                "hidden_size": c.get("hidden_size", 768),
-                "num_hidden_layers": c.get("num_hidden_layers", 12),
-                "num_attention_heads": c.get("num_attention_heads", 12),
-                "intermediate_size": c.get("intermediate_size", 3072),
-                "vocab_size": c.get("vocab_size", 30522),
-                "dtype": c.get("dtype", "float32"),
-            }
-        )
+        d = {}
+        for f in dataclasses.fields(TransformerConfig):
+            v = c.get(f.name, None)
+            if v is not None:
+                d[f.name] = v
+        return TransformerConfig.from_dict(d)
 
     @nn.compact
     def __call__(self, sample_list: Dict[str, Any], train: bool = False):
         deterministic = not train
         cfg = self._tcfg()
         c = self.config
-        head = c.get("training_head_type", "classification")
-        seq, pooled = TransformerModel(cfg, name="bert")(
-            sample_list["input_ids"],
-            sample_list.get("input_mask"),
-            sample_list.get("segment_ids"),
-            deterministic=deterministic,
+        head = c.get("training_head_type", "pretraining")
+
+        input_ids = sample_list["input_ids"]
+        input_mask = sample_list.get("input_mask")
+        if input_mask is None:
+            input_mask = jnp.ones_like(input_ids)
+        segment_ids = sample_list.get("segment_ids")
+
+        # BertEmbeddings analog (reference mmf_bert.py:47-58)
+        emb = TextEmbeddings(cfg, name="word_embedding")(
+            input_ids, segment_ids, deterministic=deterministic
         )
-        text_total = pooled
+
+        # single text self-attention layer with key padding
+        # (reference mmf_bert.py:183-192)
+        te_list = list(c.get("text_embeddings") or [])
+        if te_list:
+            p = dict(te_list[0])
+            text_total = TorchMultiheadAttention(
+                p.get("embed_dim", cfg.hidden_size),
+                p.get("num_heads", 8), p.get("dropout", 0.0),
+                name="text_embedding",
+            )(emb, emb, emb, key_padding_mask=(input_mask == 0),
+              deterministic=deterministic)
+        else:
+            text_total = emb
+
+        # image branch: encoder -> shared projection -> optional intra
+        # attention -> text->image cross attention per embedding config
+        # (reference mmf_bert.py:195-280)
+        from mmf_tpu.modules.embeddings import ProjectionEmbedding
+        from mmf_tpu.modules.encoders import build_image_encoder
+
+        proj_cfg = dict(c.get("image_feature_projection") or {
+            "module": "linear",
+            "in_dim": c.get("image_feature_dim", 2048),
+            "out_dim": cfg.hidden_size,
+        })
+        projection = ProjectionEmbedding(
+            **proj_cfg, name="image_feature_projection"
+        )
+        enc_cfgs = list(c.get("image_feature_encodings") or [
+            {"type": "default", "params": {}}
+        ])
+        fe_cfgs = list(c.get("image_feature_embeddings") or [])
+        intra_cfgs = list(c.get("image_feature_attentions") or [])
+
+        embeddings = []
+        idx = 0
+        while f"image_feature_{idx}" in sample_list:
+            feature = sample_list[f"image_feature_{idx}"]
+            enc_cfg = dict(enc_cfgs[min(idx, len(enc_cfgs) - 1)])
+            encoded = build_image_encoder(enc_cfg, direct_features=True)(
+                feature
+            )
+            encoded = projection(encoded)
+            if c.get("image_intra_attention", False) and intra_cfgs:
+                ip = dict(intra_cfgs[0])
+                encoded = TorchMultiheadAttention(
+                    ip.get("embed_dim", cfg.hidden_size),
+                    ip.get("num_heads", 8), ip.get("dropout", 0.0),
+                    name="image_feature_intra_attention",
+                )(encoded, encoded, encoded, deterministic=deterministic)
+            for j, fp_raw in enumerate(fe_cfgs):
+                fp = dict(fp_raw)
+                out = TorchMultiheadAttention(
+                    fp.get("embed_dim", cfg.hidden_size),
+                    fp.get("num_heads", 8), fp.get("dropout", 0.0),
+                    name=f"image_feature_embeddings_{idx}_{j}",
+                )(text_total, encoded, encoded,
+                  deterministic=deterministic)
+                embeddings.append(out)
+            idx += 1
+
+        if embeddings:
+            image_total = jnp.concatenate(embeddings, axis=1)
+        else:  # text-only batches degrade gracefully
+            image_total = text_total
+
+        if c.get("combine_embeddings", True):
+            mc = dict(c.get("image_text_modal_combine") or {
+                "type": "non_linear_element_multiply",
+                "params": {"dropout": 0, "hidden_dim": cfg.hidden_size},
+            })
+            joint = ModalCombineLayer(
+                mc["type"], 0, 0, params=dict(mc.get("params") or {}),
+                name="image_text_multi_modal_combine_layer",
+            )(image_total, text_total, deterministic=deterministic)
+        else:
+            joint = image_total
+
+        pooled = Pooler(cfg, name="pooler")(joint)
 
         ds = sample_list.get("dataset_name", "unknown")
         dt = sample_list.get("dataset_type", "train")
-        if "pretraining" in head:
-            # masked-LM + next-sentence heads (reference
-            # mmf_bert.py:356-388: BertPreTrainingHeads + in-model CE)
-            from mmf_tpu.modules.transformer import MLMHead
+        output: Dict[str, Any] = {}
 
-            logits = MLMHead(cfg, name="cls")(seq)
-            output: Dict[str, Any] = {"logits": logits}
+        if "pretraining" in head:
+            # BertPreTrainingHeads + in-model CE (reference
+            # mmf_bert.py:356-388)
+            logits = MLMHead(cfg, name="cls")(joint)
+            rel = nn.Dense(2, name="seq_relationship")(pooled)
+            output["logits"] = logits
+            output["seq_relationship_score"] = rel
             labels = sample_list.get("lm_label_ids", None)
             if labels is not None:
                 valid = labels != -1
@@ -67,52 +178,49 @@ class MMFBert(Pythia):
                 lp = nn.log_softmax(logits.astype(jnp.float32), -1)
                 picked = jnp.take_along_axis(lp, safe[..., None], -1)[..., 0]
                 losses = {
-                    f"{dt}/{ds}/masked_lm_loss": -jnp.sum(
+                    f"{ds}/{dt}/masked_lm_loss": -jnp.sum(
                         jnp.where(valid, picked, 0.0)
                     ) / jnp.maximum(jnp.sum(valid), 1)
                 }
                 is_next = sample_list.get("is_correct", None)
                 if is_next is not None:
-                    rel = nn.Dense(2, name="seq_relationship")(pooled)
-                    output["seq_relationship_score"] = rel
                     rl = nn.log_softmax(rel.astype(jnp.float32), -1)
-                    losses[f"{dt}/{ds}/next_sentence_loss"] = -jnp.mean(
+                    losses[f"{ds}/{dt}/next_sentence_loss"] = -jnp.mean(
                         jnp.take_along_axis(
                             rl, is_next.astype(jnp.int32)[:, None], 1
                         )
                     )
                 output["losses"] = losses
             return output
-        if "vqa" in head or head == "vizwiz":
-            # representation of the 2nd-last real token
-            # (reference mmf_bert.py:395-409)
-            from mmf_tpu.modules.transformer import PredictionHeadTransform
 
-            input_mask = sample_list.get(
-                "input_mask", jnp.ones_like(sample_list["input_ids"])
-            )
-            idx = jnp.sum(input_mask, axis=1) - 2
+        if "vqa" in head or head == "vizwiz":
+            # representation of the 2nd-last real token of the JOINT
+            # stream (reference mmf_bert.py:395-409)
+            gi = jnp.sum(input_mask, axis=1) - 2
             tok = jnp.take_along_axis(
-                seq, idx[:, None, None].astype(jnp.int32), axis=1
+                joint, gi[:, None, None].astype(jnp.int32), axis=1
             )[:, 0]
             tok = nn.Dropout(cfg.hidden_dropout_prob)(tok, deterministic)
-            x = PredictionHeadTransform(cfg, name="vqa_transform")(tok)
-            n = c.get("num_labels", 7371 if head == "vizwiz" else 3129)
-            return {"scores": nn.Dense(n, name="vqa_classifier")(x)}
-        if head in ("nlvr2", "visual_entailment"):
-            from mmf_tpu.modules.transformer import PredictionHeadTransform
+            x = PredictionHeadTransform(cfg, name="classifier_transform")(
+                tok
+            )
+            n = c.get(
+                "num_labels", 7371 if "vizwiz" in head else 3129
+            )
+            return {"scores": nn.Dense(n, name="classifier_logits")(x)}
 
+        if head in ("nlvr2", "visual_entailment", "classification"):
             x = nn.Dropout(cfg.hidden_dropout_prob)(pooled, deterministic)
-            x = PredictionHeadTransform(cfg, name="ve_transform")(x)
-            n = c.get("num_labels", 3 if head == "visual_entailment" else 2)
-            return {"scores": nn.Dense(n, name="ve_classifier")(x)}
+            x = PredictionHeadTransform(cfg, name="classifier_transform")(x)
+            if head == "classification":
+                n = c.get("num_labels", None) or registry.get(
+                    f"{self._datasets()[0]}_num_final_outputs",
+                    no_warning=True,
+                ) or 2
+            else:
+                n = c.get(
+                    "num_labels", 3 if head == "visual_entailment" else 2
+                )
+            return {"scores": nn.Dense(n, name="classifier_logits")(x)}
 
-        # pythia-style fusion only for the classification fall-through —
-        # the dedicated heads above never consume it, and building it
-        # there would create dead parameters in checkpoints/optimizer
-        image_total, _ = self._feature_embedding_total(
-            "image", sample_list, text_total, deterministic
-        )
-        joint = self._combine(image_total, text_total, deterministic)
-        scores = self._classify(joint, deterministic)
-        return {"scores": scores}
+        return output

@@ -156,6 +156,48 @@ class AttentionLayer(nn.Module):
         )(*args, deterministic=deterministic, **kwargs)
 
 
+class TorchMultiheadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention`` analog, batch-first.
+
+    mmf_bert composes raw MultiheadAttention blocks for its text
+    self-attention, image intra-attention and text->image cross-attention
+    (reference mmf_bert.py:91-92, 120-123, 129-131). Projections are kept
+    separate (q/k/v/out); the torch packed ``in_proj_weight`` is split
+    into thirds on checkpoint conversion. ``key_padding_mask`` follows the
+    torch convention: True marks keys to IGNORE.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, key_padding_mask=None,
+                 deterministic=True):
+        b, sq = query.shape[0], query.shape[1]
+        d = self.embed_dim // self.num_heads
+
+        def proj(x, name):
+            x = nn.Dense(self.embed_dim, name=name)(x)
+            return x.reshape(b, -1, self.num_heads, d).transpose(0, 2, 1, 3)
+
+        qh = proj(query, "q_proj")
+        kh = proj(key, "k_proj")
+        vh = proj(value, "v_proj")
+        bias = None
+        if key_padding_mask is not None:
+            bias = jnp.where(
+                key_padding_mask, -1e9, 0.0
+            ).astype(jnp.float32)[:, None, None, :]
+        rate = 0.0 if deterministic else self.dropout
+        ctx = dot_product_attention(
+            qh, kh, vh, bias=bias, dropout_rate=rate,
+            dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, self.embed_dim)
+        return nn.Dense(self.embed_dim, name="out_proj")(ctx)
+
+
 class MovieMcanMultiHeadAttention(nn.Module):
     """MCAN multi-head attention (reference attention.py:165-212)."""
 

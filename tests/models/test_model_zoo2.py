@@ -184,34 +184,48 @@ def test_krisp():
     assert out["scores"].shape == (B, 6)
 
 
+# reference-shaped mmf_bert config (mmf/configs/models/mmf_bert/
+# defaults.yaml): raw MultiheadAttention params, shared projection,
+# element-multiply combine
+MMF_BERT_KEYS = {
+    "model_data_dir": "",
+    "combine_embeddings": True,
+    "image_intra_attention": True,
+    "text_embeddings": [
+        {"embed_dim": 32, "num_heads": 4, "dropout": 0.0}],
+    "image_feature_embeddings": [
+        {"embed_dim": 32, "num_heads": 4, "dropout": 0.0}],
+    "image_feature_attentions": [
+        {"embed_dim": 32, "num_heads": 4, "dropout": 0.0}],
+    "image_feature_dim": 32,
+    "image_feature_projection": {"module": "linear", "in_dim": 32,
+                                 "out_dim": 32},
+    "image_feature_encodings": [{"type": "default",
+                                 "params": {"in_dim": 32}}],
+    "image_text_modal_combine": {
+        "type": "non_linear_element_multiply",
+        "params": {"dropout": 0, "hidden_dim": 32}},
+}
+
+
 def test_mmf_bert():
     registry.register("config", omega.create({"datasets": "vqa2",
                                               "training": {}}))
     registry.register("vqa2_num_final_outputs", 7)
-    mc = omega.create({
-        **SMALL,
-        "model_data_dir": "",
-        "classifier": {"type": "logit",
-                       "params": {"img_hidden_dim": 16,
-                                  "text_hidden_dim": 16}},
-        "image_feature_embeddings": [
-            {"modal_combine": {"type": "non_linear_element_multiply",
-                               "params": {"dropout": 0, "hidden_dim": 16}},
-             "normalization": "softmax",
-             "transform": {"type": "linear", "params": {"out_dim": 1}}}],
-        "image_feature_dim": 32,
-        "image_feature_encodings": [{"type": "default",
-                                     "params": {"in_dim": 32}}],
-        "image_text_modal_combine": {
-            "type": "non_linear_element_multiply",
-            "params": {"dropout": 0, "hidden_dim": 16}},
-        "text_embeddings": [],
-    })
+    mc = omega.create(dict(SMALL, **MMF_BERT_KEYS,
+                           training_head_type="classification"))
     model = registry.get_model_class("mmf_bert")(config=mc)
     batch = _vl_batch()
     variables = model.init(RNG, batch, False)
     out = model.apply(variables, batch, False)
     assert out["scores"].shape == (B, 7)
+    # the image stream must actually reach the head: perturbing region
+    # features has to move the logits (the combine layer carries them)
+    batch2 = dict(batch)
+    batch2["image_feature_0"] = batch["image_feature_0"] + 1.0
+    out2 = model.apply(variables, batch2, False)
+    assert not np.allclose(np.asarray(out["scores"]),
+                           np.asarray(out2["scores"]))
 
 
 def test_vinvl_pretraining_two_pass():
@@ -295,25 +309,7 @@ def test_mmf_bert_heads():
     registry.register("config", omega.create({"datasets": "vqa2",
                                               "training": {}}))
     registry.register("vqa2_num_final_outputs", 7)
-    pythia_keys = {
-        "model_data_dir": "",
-        "classifier": {"type": "logit",
-                       "params": {"img_hidden_dim": 16,
-                                  "text_hidden_dim": 16}},
-        "image_feature_embeddings": [
-            {"modal_combine": {"type": "non_linear_element_multiply",
-                               "params": {"dropout": 0, "hidden_dim": 16}},
-             "normalization": "softmax",
-             "transform": {"type": "linear", "params": {"out_dim": 1}}}],
-        "image_feature_dim": 32,
-        "image_feature_encodings": [{"type": "default",
-                                     "params": {"in_dim": 32}}],
-        "image_text_modal_combine": {
-            "type": "non_linear_element_multiply",
-            "params": {"dropout": 0, "hidden_dim": 16}},
-        "text_embeddings": [],
-    }
-    base = dict(SMALL, **pythia_keys, training_head_type="pretraining")
+    base = dict(SMALL, **MMF_BERT_KEYS, training_head_type="pretraining")
     batch = dict(_vl_batch())
     ids = np.asarray(batch["input_ids"])
     lm = ids.copy(); lm[:, ::2] = -1
@@ -328,13 +324,13 @@ def test_mmf_bert_heads():
     assert "seq_relationship_score" in out
 
     m2 = registry.get_model_class("mmf_bert")(config=omega.create(
-        dict(SMALL, **pythia_keys, training_head_type="vqa",
+        dict(SMALL, **MMF_BERT_KEYS, training_head_type="vqa",
              num_labels=7)))
     v2 = m2.init(RNG, batch, False)
     assert m2.apply(v2, batch, False)["scores"].shape == (B, 7)
 
     m3 = registry.get_model_class("mmf_bert")(config=omega.create(
-        dict(SMALL, **pythia_keys,
+        dict(SMALL, **MMF_BERT_KEYS,
              training_head_type="visual_entailment")))
     v3 = m3.init(RNG, batch, False)
     assert m3.apply(v3, batch, False)["scores"].shape == (B, 3)
