@@ -44,29 +44,18 @@ class LanguageDecoder(nn.Module):
 
 
 class VisDialDiscriminator(nn.Module):
-    """Discriminative VisDial head: score candidate options by dot product
-    with the fused embedding (reference decoders.py:9-53)."""
+    """Discriminative VisDial head (reference decoders.py:8-52): candidate
+    options — already embedded by the caller with the SHARED
+    question-embedding stack, which is how the reference ties the tables
+    (it passes ``text_embeddings[0]`` into the discriminator) — are
+    projected and dot-scored against the fused dialog-state embedding."""
 
-    emb_out_dim: int
     hidden_dim: int
 
     @nn.compact
-    def __call__(self, encoder_output, batch, deterministic=True):
-        answer_options = batch["answer_options"]        # [B, D, 100, S] ids
-        answer_options_len = batch["answer_options_len"]  # [B, D, 100]
-        B, D, num_options, S = answer_options.shape
-
-        embed = nn.Embed(
-            batch["vocab_size"] if "vocab_size" in batch else 30522,
-            self.emb_out_dim, name="embedding",
+    def __call__(self, encoder_output, option_embeddings):
+        # option_embeddings: [N, num_options, emb_dim]; encoder: [N, H]
+        proj = nn.Dense(self.hidden_dim, name="projection_layer")(
+            option_embeddings
         )
-        emb = embed(answer_options.astype(jnp.int32))  # [B,D,100,S,E]
-        # mean over valid tokens
-        pos = jnp.arange(S)[None, None, None, :]
-        mask = (pos < answer_options_len[..., None]).astype(emb.dtype)
-        emb = jnp.sum(emb * mask[..., None], axis=3) / jnp.maximum(
-            jnp.sum(mask, axis=3)[..., None], 1.0
-        )
-        proj = nn.Dense(self.hidden_dim, name="projection_layer")(emb)
-        scores = jnp.einsum("bdoh,bdh->bdo", proj, encoder_output)
-        return scores.reshape(B * D, num_options)
+        return jnp.einsum("noh,nh->no", proj, encoder_output)

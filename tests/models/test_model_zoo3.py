@@ -181,7 +181,31 @@ def test_visdial_multi_modal():
         answer_options=jnp.asarray(
             rng.randint(0, 50, (B, D, OPTS, S))),
         answer_options_len=jnp.full((B, D, OPTS), S, jnp.int32),
+        history=jnp.asarray(rng.randint(0, 50, (B, 6))),
         vocab_size=50,
     )
     scores = _run("visdial_multi_modal", mc, batch)
     assert scores.shape == (B * D, OPTS)
+
+    # the history arm must reach the joint embedding (context arm of the
+    # 3-way combine, reference forward:86-89)
+    cls = registry.get_model_class("visdial_multi_modal")
+    model = cls(config=mc)
+    variables = model.init(RNG, batch, False)
+    out1 = np.asarray(model.apply(variables, batch, False)["scores"])
+    b2 = dict(batch)
+    b2["history"] = jnp.asarray(rng.randint(0, 50, (B, 6)))
+    out2 = np.asarray(model.apply(variables, b2, False)["scores"])
+    assert not np.allclose(out1, out2)
+
+    # options are embedded by the SHARED question stack: perturbing a
+    # word-embedding row used only by the options must move the scores
+    import jax as _jax
+    params = variables["params"]
+    emb = np.asarray(params["word_embedding"]["embedding"]).copy()
+    opt_tok = int(np.asarray(batch["answer_options"])[0, 0, 0, 0])
+    emb[opt_tok] += 1.0
+    params2 = _jax.tree_util.tree_map(lambda x: x, params)
+    params2["word_embedding"]["embedding"] = jnp.asarray(emb)
+    out3 = np.asarray(model.apply({"params": params2}, batch, False)["scores"])
+    assert not np.allclose(out1, out3)
