@@ -25,15 +25,20 @@ class FusionBase(nn.Module):
             self.config.get("text_encoder", {"type": "transformer",
                                              "params": {}})
         )
+        # the modal encoder runs in BOTH modes: with direct_features_input
+        # it is an ImageFeatureEncoder over precomputed features
+        # (projection / fc7 / identity), not a raw-image trunk (reference
+        # encoders.py:643-646 _build_modal_encoder)
         direct = self.config.get("direct_features_input", False)
+        modal_cfg = dict(self.config.get(
+            "modal_encoder",
+            {"type": "default", "params": {}} if direct
+            else {"type": "resnet152", "params": {}},
+        ))
+        modal_encoder = build_image_encoder(modal_cfg, direct_features=direct)
         if direct:
-            modal_out = modal
+            modal_out = modal_encoder(modal)
         else:
-            modal_encoder = build_image_encoder(
-                self.config.get(
-                    "modal_encoder", {"type": "resnet152", "params": {}}
-                )
-            )
             modal_out = modal_encoder(modal, not deterministic)
 
         text_args = text_args or []
@@ -130,10 +135,18 @@ class LateFusion(BaseModel):
         text_emb, modal_emb = FusionBase(self.config, name="base")(
             text, modal, [mask, segment], deterministic
         )
+        # separate per-modality classifier CONFIGS (reference
+        # fusions.py:163-175: modal_classifier / text_classifier), each
+        # falling back to the shared `classifier` block
+        cfg = dict(self.config)
+        tc = cfg.get("text_classifier") or cfg.get("classifier")
+        mc = cfg.get("modal_classifier") or cfg.get("classifier")
         text_scores = _classifier(
-            self.config, text_emb, deterministic, name="text_classifier"
+            dict(cfg, classifier=tc), text_emb, deterministic,
+            name="text_classifier",
         )
         modal_scores = _classifier(
-            self.config, modal_emb, deterministic, name="modal_classifier"
+            dict(cfg, classifier=mc), modal_emb, deterministic,
+            name="modal_classifier",
         )
         return {"scores": (text_scores + modal_scores) / 2}

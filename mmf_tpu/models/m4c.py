@@ -263,6 +263,12 @@ class M4C(BaseModel):
             ),
         )
 
+    def _finalize_scores(self, scores):
+        """Per-step score hook (reference m4c.py _forward_output); the
+        captioner subclass masks <unk> here so the greedy feedback chain
+        never emits it (m4c_captioner.py:16-23)."""
+        return scores
+
     def _num_choices(self):
         datasets = self.config.get("datasets", None) or registry.get(
             "config", no_warning=True
@@ -375,7 +381,9 @@ class M4C(BaseModel):
             dec = res["mmt_dec_output"]
             fixed_scores = dec @ classifier_w.T + classifier_b
             dyn = self.ocr_ptr_net(dec, res["mmt_ocr_output"], ocr_mask)
-            scores = jnp.concatenate([fixed_scores, dyn], axis=-1)
+            scores = self._finalize_scores(
+                jnp.concatenate([fixed_scores, dyn], axis=-1)
+            )
         else:
             # Incremental greedy decode (SURVEY §3.4 and then some): the
             # reference recomputes the FULL joint transformer on all 12
@@ -408,9 +416,9 @@ class M4C(BaseModel):
                 )
                 fixed_scores = dec @ classifier_w.T + classifier_b
                 dyn = mdl.ocr_ptr_net(dec, ocr_out, ocr_mask)
-                s = jnp.concatenate(
+                s = mdl._finalize_scores(jnp.concatenate(
                     [fixed_scores, dyn], axis=-1
-                ).astype(jnp.float32)
+                ).astype(jnp.float32))
                 argmax_inds = jnp.argmax(s, axis=-1).astype(jnp.int32)
                 new_inds = inds.at[:, 1:].set(argmax_inds[:, :-1])
                 return (new_inds, s), None

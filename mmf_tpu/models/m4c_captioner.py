@@ -1,12 +1,12 @@
-"""M4C-Captioner: M4C without the question input
-(parity with mmf/models/m4c_captioner.py:23)."""
+"""M4C-Captioner (parity with mmf/models/m4c_captioner.py:23): the M4C
+trunk with ``remove_unk_in_pred`` — <unk> logits are masked to -1e10 in
+EVERY output step, so the greedy feedback chain never emits <unk>
+(reference _forward_output:16-23). The empty question comes from the
+textcaps dataset (dummy "" question_str), not from the model."""
 
 from __future__ import annotations
 
 from typing import Any
-
-import flax.linen as nn
-import jax.numpy as jnp
 
 from mmf_tpu.common.registry import registry
 from mmf_tpu.models.m4c import M4C
@@ -20,12 +20,25 @@ class M4CCaptioner(M4C):
     def config_path(cls):
         return "configs/models/m4c_captioner/defaults.yaml"
 
-    @nn.compact
-    def __call__(self, sample_list, train: bool = False):
-        # remove_unk_in_pred is handled by the caption processor at
-        # prediction time; the trunk ignores question text by zeroing it
-        sl = dict(sample_list)
-        if self.config.get("remove_text_input", True):
-            sl["text"] = jnp.zeros_like(sl["text"])
-            sl["text_len"] = jnp.zeros_like(sl["text_len"])
-        return super().__call__(sl, train)
+    def _unk_idx(self):
+        if "unk_idx" in self.config:
+            return int(self.config["unk_idx"])
+        datasets = self.config.get("datasets", None) or (
+            registry.get("config", no_warning=True) or {}
+        ).get("datasets", None)
+        if isinstance(datasets, str):
+            dataset = datasets.split(",")[0].strip()
+        elif isinstance(datasets, (list, tuple)) and datasets:
+            dataset = datasets[0]
+        else:
+            dataset = "textcaps"
+        ap = registry.get(f"{dataset}_answer_processor", no_warning=True)
+        return getattr(ap, "UNK_IDX", None)
+
+    def _finalize_scores(self, scores):
+        if not self.config.get("remove_unk_in_pred", True):
+            return scores
+        unk = self._unk_idx()
+        if unk is None:
+            return scores
+        return scores.at[..., unk].set(-1e10)

@@ -55,7 +55,17 @@ class UnimodalModal(BaseModel):
         deterministic = not train
         direct = self.config.get("direct_features_input", False)
         if direct:
-            modal = sample_list["image_feature_0"]
+            # regions are mean-pooled BEFORE the feature encoder
+            # (reference unimodal.py:100-102), which still runs — it is an
+            # ImageFeatureEncoder (identity/projection/fc7) in this mode
+            modal = jnp.mean(sample_list["image_feature_0"], axis=1)
+            encoder = build_image_encoder(
+                dict(self.config.get(
+                    "modal_encoder", {"type": "default", "params": {}}
+                )),
+                direct_features=True,
+            )
+            modal = encoder(modal)
         else:
             encoder = build_image_encoder(
                 self.config.get("modal_encoder", {"type": "resnet152",

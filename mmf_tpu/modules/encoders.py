@@ -522,6 +522,8 @@ def build_image_encoder(config, direct_features: bool = False):
 
 def build_text_encoder(config):
     etype = config.get("type", "transformer")
+    if etype == "embedding":  # TextEncoderFactory alias
+        etype = "text_embedding"
     params = dict(config.get("params", {}) or {})
     cls = registry.get_encoder_class(etype)
     if cls is None:

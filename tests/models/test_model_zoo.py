@@ -167,12 +167,21 @@ def test_fusion_baselines_direct_features():
     for name, path in cfgs.items():
         mc = load_yaml(path)["model_config"][name]
         mc["direct_features_input"] = True
+        # with direct features the modal encoder must be a FEATURE
+        # encoder (reference encoders.py:79-104 asserts the type); the
+        # projection exercises that the encoder actually runs
+        mc["modal_encoder"] = {
+            "type": "projection",
+            "params": {"module": "linear", "in_dim": 32, "out_dim": 24},
+        }
         mc["text_encoder"]["params"].update(
             {"hidden_size": 16, "num_hidden_layers": 1,
              "num_attention_heads": 2, "vocab_size": 50}
         )
         mc["num_labels"] = 2
-        mc["classifier"]["params"]["hidden_size"] = 16
+        for ckey in ("classifier", "text_classifier", "modal_classifier"):
+            if ckey in mc:
+                mc[ckey]["params"]["hidden_size"] = 16
         cls = registry.get_model_class(name)
         model = cls(config=mc)
         batch = {
@@ -245,6 +254,18 @@ def test_m4c_captioner():
     variables = model.init({"params": RNG, "dropout": RNG}, batch, True)
     out = model.apply(variables, batch, True, rngs={"dropout": RNG})
     assert out["scores"].shape == (B, 4, 20)
+
+    # remove_unk_in_pred (reference m4c_captioner.py:16-23): the <unk>
+    # column is -1e10 in every step — train AND the greedy eval decode —
+    # so the feedback argmax can never pick it
+    mc2 = dict(mc, unk_idx=3)
+    model2 = cls(config=mc2)
+    v2 = model2.init({"params": RNG, "dropout": RNG}, batch, True)
+    out_t = model2.apply(v2, batch, True, rngs={"dropout": RNG})
+    assert np.all(np.asarray(out_t["scores"][..., 3]) == -1e10)
+    out_e = model2.apply(v2, batch, False)
+    assert np.all(np.asarray(out_e["scores"][..., 3]) == -1e10)
+    assert not np.any(np.asarray(out_e["scores"]).argmax(-1) == 3)
 
 
 def test_butd_in_jit_beam_search():
