@@ -5,8 +5,8 @@ torchvision_resnet, frcnn (region features via models/frcnn),
 text_embedding, transformer, vit, r2plus1d_18 (flax R(2+1)D video
 encoder), resnet18_audio (spectrogram ResNet-18), detectron2_resnet
 (caffe-lineage C4 grid features); factories keep the reference's config
-contract. Only ``pytorchvideo`` stays gated (its model zoo has no local
-equivalent; r2plus1d_18 covers the video-encoder role).
+contract. ``pytorchvideo`` is served by the flax video trunks in
+modules/video.py (same config surface, no torch-hub dependency).
 """
 
 from __future__ import annotations
@@ -439,23 +439,9 @@ class Detectron2ResnetImageEncoder(Encoder):
         return x.reshape(b, -1, x.shape[-1])
 
 
-def _unavailable_encoder(name: str, reason: str):
-    @registry.register_encoder(name)
-    class _Unavailable(Encoder):  # noqa: N801
-        @nn.compact
-        def __call__(self, *a, **k):
-            raise NotImplementedError(
-                f"Encoder '{name}' is unavailable in this environment: "
-                f"{reason}"
-            )
-
-    _Unavailable.__name__ = f"Unavailable_{name}"
-    return _Unavailable
-
-
-# gated: pytorchvideo model zoo has no local equivalent; r2plus1d_18 above
-# covers the video-encoder role
-_unavailable_encoder("pytorchvideo", "pytorchvideo is not installed")
+# NOTE: the "pytorchvideo" encoder key is registered by
+# mmf_tpu/modules/video.py (flax video trunks behind the reference's
+# config surface); setup_imports loads it alongside this module.
 
 
 class PooledEncoder(nn.Module):
