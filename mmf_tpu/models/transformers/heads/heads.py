@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from mmf_tpu.common.registry import registry
 from mmf_tpu.models.transformers.base import BaseTransformerHead
 from mmf_tpu.modules.transformer import (
+    ACT2FN,
     PredictionHeadTransform,
     Pooler,
     TransformerConfig,
@@ -139,7 +140,9 @@ class MLPHead(BaseTransformerHead):
                 x, deterministic
             )
             x = nn.Dense(hidden_size, name=f"transform_dense_{i}")(x)
-            x = nn.gelu(x)
+            # exact-erf GELU in f32 like the torch transform (ACT2FN
+            # applies the repo-wide bf16 tanh policy)
+            x = ACT2FN[c.get("hidden_act", "gelu")](x)
             x = nn.LayerNorm(
                 epsilon=c.get("layer_norm_eps", 1e-6), name=f"transform_ln_{i}"
             )(x)

@@ -129,9 +129,14 @@ class ViLT(BaseModel):
         if isinstance(image_size, (list, tuple)):
             image_size = image_size[0]
 
+        te_cfg = dict(c.get("text_embeddings", {}) or {})
         text_embeddings = ViLTTextEmbedding(
             hidden_size=hidden,
-            vocab_size=c.get("vocab_size", 30522),
+            vocab_size=te_cfg.get("vocab_size", c.get("vocab_size", 30522)),
+            max_position_embeddings=te_cfg.get(
+                "max_position_embeddings",
+                c.get("max_position_embeddings", 512),
+            ),
             name="text_embeddings",
         )
         image_embeddings = ViLTImageEmbedding(

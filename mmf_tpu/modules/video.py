@@ -273,7 +273,9 @@ class MultiScaleBlock(nn.Module):
 
         h = nn.LayerNorm(name="norm2")(x)
         mlp = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        mlp = nn.Dense(self.dim_out, name="mlp_fc2")(nn.gelu(mlp))
+        from mmf_tpu.modules.transformer import ACT2FN
+
+        mlp = nn.Dense(self.dim_out, name="mlp_fc2")(ACT2FN["gelu"](mlp))
         if self.dim != self.dim_out:
             x = nn.Dense(self.dim_out, name="proj")(h)
         return x + mlp, new_thw
