@@ -63,17 +63,27 @@ class CMSharedTransformer(BaseModel):
             segment_ids, deterministic=deterministic,
             return_sequence=True,
         )
-        text_proj = nn.Dense(final_dim, name="text_projection")(text_seq)
+        tproj_dim = (c.get("text_projection", {}) or {}).get(
+            "params", {}
+        ).get("out_dim", final_dim)
+        text_proj = nn.Dense(tproj_dim, name="text_projection")(text_seq)
 
-        # image branch (precomputed grid/region features or raw image)
-        if "image_feature_0" in sample_list:
+        # image branch (reference key: image_encoder; with
+        # direct_features_input the features arrive precomputed)
+        enc_cfg = c.get("image_encoder", c.get("modal_encoder"))
+        if c.get("direct_features_input", False) or (
+            "image" not in sample_list and "image_feature_0" in sample_list
+        ):
             image_feats = sample_list["image_feature_0"]
         else:
             image_enc = build_image_encoder(
-                c.get("modal_encoder", {"type": "resnet152", "params": {}})
+                enc_cfg or {"type": "resnet152", "params": {}}
             )
             image_feats = image_enc(sample_list["image"], not deterministic)
-        image_proj = nn.Dense(final_dim, name="image_projection")(image_feats)
+        proj_dim = (c.get("image_projection", {}) or {}).get(
+            "params", {}
+        ).get("out_dim", final_dim)
+        image_proj = nn.Dense(proj_dim, name="image_projection")(image_feats)
 
         # sine position embedding on the image grid (reference
         # alignment.py:24-72 PositionEmbeddingSine over the 7x7 feature
@@ -99,20 +109,27 @@ class CMSharedTransformer(BaseModel):
                               deterministic=deterministic)
             image_out = shared(image_out, deterministic=deterministic)
 
+        # text pooling masks padded tokens (reference alignment.py:240
+        # passes mask.eq(0) into text_pool); the image grid has no pads
+        text_pad = (input_mask == 0) if input_mask is not None else None
         text_pooled = AttnPool1d(final_dim, 1, name="text_pool")(
-            text_out, text_out, deterministic=deterministic
+            text_out, text_out, mask=text_pad, deterministic=deterministic
         )[:, 0]
         image_pooled = AttnPool1d(final_dim, 1, name="image_pool")(
             image_out, image_out, deterministic=deterministic
         )[:, 0]
 
-        text_pooled = text_pooled / (
-            jnp.linalg.norm(text_pooled, axis=-1, keepdims=True) + 1e-12
-        )
-        image_pooled = image_pooled / (
-            jnp.linalg.norm(image_pooled, axis=-1, keepdims=True) + 1e-12
-        )
-        return {
+        # normalization is per-modality configurable (reference defaults:
+        # text yes, image no — alignment.py:207-209,241-242)
+        if c.get("norm_text_embeddings", True):
+            text_pooled = text_pooled / (
+                jnp.linalg.norm(text_pooled, axis=-1, keepdims=True) + 1e-12
+            )
+        if c.get("norm_img_embeddings", False):
+            image_pooled = image_pooled / (
+                jnp.linalg.norm(image_pooled, axis=-1, keepdims=True) + 1e-12
+            )
+        out = {
             "scores": image_pooled,
             "targets": text_pooled,
             "embedding_1": image_pooled,
@@ -121,3 +138,6 @@ class CMSharedTransformer(BaseModel):
                 "temperature", nn.initializers.constant(0.07), ()
             ),
         }
+        if input_mask is not None:
+            out["text_len"] = jnp.sum(input_mask, axis=-1).reshape(-1)
+        return out

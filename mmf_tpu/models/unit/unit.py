@@ -125,6 +125,28 @@ class DETRDecoderLayer(nn.Module):
         return queries
 
 
+# reference configs nest the DETR knobs under base_args
+# (configs/models/unit/defaults.yaml:20-50); this maps them onto the
+# flat keys this redesign reads (flat keys win when both are present)
+_BASE_ARGS_MAP = {
+    "enc_layers": "num_encoder_layers",
+    "dec_layers": "num_decoder_layers",
+    "nheads": "num_attention_heads",
+    "encoder_hidden_dim": "hidden_size",
+    "dim_feedforward": "intermediate_size",
+    "dropout": "dropout",
+    "set_cost_class": "cost_class",
+    "set_cost_bbox": "cost_bbox",
+    "set_cost_giou": "cost_giou",
+    "bbox_loss_coef": "bbox_coef",
+    "giou_loss_coef": "giou_coef",
+    "eos_coef": "eos_coef",
+    "num_queries": "num_queries",
+    "decoder_hidden_dim": "decoder_hidden_dim",
+    "attribute_class_num": "attribute_class_num",
+}
+
+
 @registry.register_model("unit")
 class UniT(BaseModel):
     config: Any = None
@@ -133,8 +155,24 @@ class UniT(BaseModel):
     def config_path(cls):
         return "configs/models/unit/defaults.yaml"
 
+    def _merged_config(self):
+        import re
+
+        c = dict(self.config or {})
+        ba = dict(c.get("base_args", {}) or {})
+        for src, dst in _BASE_ARGS_MAP.items():
+            if src in ba and dst not in c:
+                c[dst] = ba[src]
+        if "share_decoders" in ba and "separate_decoders" not in c:
+            c["separate_decoders"] = not ba["share_decoders"]
+        if "backbone" in ba and "backbone_depth" not in c:
+            m = re.match(r"resnet(\d+)", str(ba["backbone"]))
+            if m:
+                c["backbone_depth"] = int(m.group(1))
+        return c
+
     def _tcfg(self):
-        c = self.config
+        c = self._merged_config()
         hidden = c.get("hidden_size", 256)
         return TransformerConfig.from_dict(
             {
@@ -154,13 +192,18 @@ class UniT(BaseModel):
     @nn.compact
     def __call__(self, sample_list: Dict[str, Any], train: bool = False):
         deterministic = not train
-        c = self.config
+        c = self._merged_config()
         cfg = self._tcfg()
         hidden = cfg.hidden_size
         dataset = sample_list.get("dataset_name", "detection_coco")
         task_type = c.get("task_map", {}).get(dataset, c.get(
             "default_task_type", "detection"))
         num_queries = c.get("num_queries", 100)
+        if not isinstance(num_queries, int):
+            # reference shape: base_args.num_queries[task][dataset]
+            per_task = num_queries.get(task_type, {})
+            num_queries = (per_task if isinstance(per_task, int)
+                           else per_task.get(dataset, 100)) or 100
 
         memory_parts = []
         memory_masks = []
@@ -276,9 +319,9 @@ class UniT(BaseModel):
         num_targets = jnp.sum(tgt_labels >= 0, axis=1)
 
         matcher = HungarianMatcher(
-            self.config.get("cost_class", 1.0),
-            self.config.get("cost_bbox", 5.0),
-            self.config.get("cost_giou", 2.0),
+            self._merged_config().get("cost_class", 1.0),
+            self._merged_config().get("cost_bbox", 5.0),
+            self._merged_config().get("cost_giou", 2.0),
         )
         safe_labels = jnp.where(tgt_labels < 0, 0, tgt_labels)
         match = matcher(
@@ -296,7 +339,7 @@ class UniT(BaseModel):
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ce = -jnp.take_along_axis(lp, cls_target[..., None], -1)[..., 0]
         # reference down-weights the no-object class (eos_coef 0.1)
-        weights = jnp.where(matched, 1.0, self.config.get("eos_coef", 0.1))
+        weights = jnp.where(matched, 1.0, self._merged_config().get("eos_coef", 0.1))
         loss_ce = jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
         mboxes = jnp.take_along_axis(
@@ -317,6 +360,6 @@ class UniT(BaseModel):
         loss_giou = jnp.sum((1 - giou) * matched) / denom
         return {
             "detection_ce": loss_ce,
-            "detection_bbox": loss_bbox * self.config.get("bbox_coef", 5.0),
-            "detection_giou": loss_giou * self.config.get("giou_coef", 2.0),
+            "detection_bbox": loss_bbox * self._merged_config().get("bbox_coef", 5.0),
+            "detection_giou": loss_giou * self._merged_config().get("giou_coef", 2.0),
         }

@@ -150,22 +150,25 @@ class UNITER(BaseModel):
         return "configs/models/uniter/defaults.yaml"
 
     def _tcfg(self):
+        # the reference nests trunk dims under encoder.params
+        # (configs/models/uniter/defaults.yaml:18-26); flat keys override
+        enc = dict((self.config.get("encoder", {}) or {}).get("params", {})
+                   or {})
+
+        def get(key, default):
+            return self.config.get(key, enc.get(key, default))
+
         return TransformerConfig.from_dict(
             {
-                "hidden_size": self.config.get("hidden_size", 768),
-                "num_hidden_layers": self.config.get("num_hidden_layers", 12),
-                "num_attention_heads": self.config.get(
-                    "num_attention_heads", 12
+                "hidden_size": get("hidden_size", 768),
+                "num_hidden_layers": get("num_hidden_layers", 12),
+                "num_attention_heads": get("num_attention_heads", 12),
+                "intermediate_size": get(
+                    "intermediate_size", get("hidden_size", 768) * 4
                 ),
-                "intermediate_size": self.config.get(
-                    "intermediate_size",
-                    self.config.get("hidden_size", 768) * 4,
-                ),
-                "vocab_size": self.config.get("vocab_size", 30522),
-                "hidden_dropout_prob": self.config.get(
-                    "hidden_dropout_prob", 0.0
-                ),
-                "dtype": self.config.get("dtype", "float32"),
+                "vocab_size": get("vocab_size", 30522),
+                "hidden_dropout_prob": get("hidden_dropout_prob", 0.0),
+                "dtype": get("dtype", "float32"),
             }
         )
 

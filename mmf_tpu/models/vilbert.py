@@ -412,18 +412,90 @@ class ViLBERT(BaseModel):
             image_target = inp["image_target"]
             image_label = inp["image_label"]
             if image_target is not None and image_label is not None:
-                lp = nn.log_softmax(v_logits.astype(jnp.float32), -1)
+                # visual_target selects the masked-region objective
+                # (reference vilbert.py:1072-1077,1138-1229):
+                #   0 -> KLD vs detector class probs (default)
+                #   1 -> MSE on region features
+                #   2 -> NCE vs sampled negative regions
+                visual_target = int(c.get("visual_target", 0))
                 tgt = image_target.astype(jnp.float32)
-                kld = jnp.sum(
-                    jnp.where(tgt == 0, 0.0,
-                              tgt * (jnp.log(jnp.where(tgt == 0, 1.0, tgt))
-                                     - lp)),
-                    axis=2, keepdims=True,
-                )
                 mask = (image_label == 1).astype(jnp.float32)[..., None]
-                losses[f"{dt}/{ds}/masked_img_loss"] = jnp.sum(
-                    kld * mask
-                ) / jnp.maximum(jnp.sum(mask), 1.0)
+                if visual_target == 0:
+                    lp = nn.log_softmax(v_logits.astype(jnp.float32), -1)
+                    kld = jnp.sum(
+                        jnp.where(
+                            tgt == 0, 0.0,
+                            tgt * (jnp.log(jnp.where(tgt == 0, 1.0, tgt))
+                                   - lp)),
+                        axis=2, keepdims=True,
+                    )
+                    losses[f"{dt}/{ds}/masked_img_loss"] = jnp.sum(
+                        kld * mask
+                    ) / jnp.maximum(jnp.sum(mask), 1.0)
+                elif visual_target == 1:
+                    sq = (v_logits.astype(jnp.float32) - tgt) ** 2
+                    # normalizer counts every masked ELEMENT (reference
+                    # expands the mask over the feature dim)
+                    losses[f"{dt}/{ds}/masked_img_loss"] = jnp.sum(
+                        sq * mask
+                    ) / jnp.maximum(
+                        jnp.sum(mask) * jnp.float32(sq.shape[-1]), 1.0
+                    )
+                elif visual_target == 2:
+                    # NCE: positive region target vs num_negative sampled
+                    # regions, 70% across the batch / 30% inside the
+                    # image, scored by dot product; CE with the positive
+                    # at index 0, masked-mean over predicted regions
+                    nneg = int(c.get("num_negative", 128))
+                    n_across = int(nneg * 0.7)
+                    n_inside = int(nneg * 0.3)
+                    bsz, nreg = v_logits.shape[0], v_logits.shape[1]
+                    rng = (self.make_rng("sampling")
+                           if self.has_rng("sampling")
+                           else jax.random.PRNGKey(0))
+                    r1, r2, r3 = jax.random.split(rng, 3)
+                    row_across = jax.random.randint(
+                        r1, (bsz, nreg, n_across), 0, max(bsz - 1, 1)
+                    )
+                    row_across = jnp.where(
+                        row_across == jnp.arange(bsz)[:, None, None],
+                        bsz - 1, row_across,
+                    )
+                    col_across = jax.random.randint(
+                        r2, (bsz, nreg, n_across), 0, nreg
+                    )
+                    idx_across = row_across * nreg + col_across
+                    col_inside = jax.random.randint(
+                        r3, (bsz, nreg, n_inside), 0, max(nreg - 1, 1)
+                    )
+                    col_inside = jnp.where(
+                        col_inside == jnp.arange(nreg)[None, :, None],
+                        nreg - 1, col_inside,
+                    )
+                    idx_inside = (
+                        jnp.arange(bsz)[:, None, None] * nreg + col_inside
+                    )
+                    final_index = jnp.concatenate(
+                        [idx_across, idx_inside], axis=2
+                    )
+                    flat_tgt = tgt.reshape(bsz * nreg, -1)
+                    negative_v = flat_tgt[final_index]  # [B,R,nn,D]
+                    sample_v = jnp.concatenate(
+                        [tgt[:, :, None], negative_v], axis=2
+                    )
+                    score = jnp.einsum(
+                        "brnd,brd->brn", sample_v,
+                        v_logits.astype(jnp.float32),
+                    )
+                    lp0 = nn.log_softmax(score, axis=-1)[..., 0]
+                    m2 = (image_label == 1).astype(jnp.float32)
+                    losses[f"{dt}/{ds}/masked_img_loss"] = -jnp.sum(
+                        lp0 * m2
+                    ) / jnp.maximum(jnp.sum(m2), 1.0)
+                else:
+                    raise AssertionError(
+                        f"unknown visual_target {visual_target}"
+                    )
             # ITM score over the fused pooled pair (reference
             # vilbert.py:877-885: sum or mul fusion + dropout; the ITM
             # loss is commented out in the reference, so only the score

@@ -162,6 +162,44 @@ def test_vilbert_pretraining_losses():
         assert np.isfinite(float(v))
 
 
+def test_vilbert_visual_target_modes():
+    """visual_target 1 (feature MSE) and 2 (NCE vs sampled negative
+    regions) — reference vilbert.py:1072-1077, 1139-1229. The target
+    width must equal v_target_size for these modes (features, not class
+    probs)."""
+    cls = registry.get_model_class("vilbert")
+    base = _small_vilbert("pretraining")
+    rng = np.random.RandomState(5)
+    for vt in (1, 2):
+        mc = dict(base, visual_target=vt, num_negative=10)
+        model = cls(config=mc)
+        batch = dict(_vilbert_batch(head="pretraining"))
+        # features as the regression/NCE target, width = v_target_size
+        vts = mc.get("v_target_size", 1601) if vt != 1 else None
+        feats = np.asarray(batch["image_feature_0"])
+        tgt_dim = mc.get("v_target_size", 1601)
+        info = dict(batch["image_info_0"])
+        info["cls_prob"] = rng.rand(
+            feats.shape[0], feats.shape[1], tgt_dim
+        ).astype(np.float32)
+        batch["image_info_0"] = info
+        variables = model.init(RNG, batch, False)
+        out = model.apply(variables, batch, False)
+        key = "train/vqa2/masked_img_loss"
+        assert key in out["losses"], (vt, list(out["losses"]))
+        assert np.isfinite(float(out["losses"][key])), vt
+        if vt == 1:
+            # MSE must be zero when predictions equal targets — probe the
+            # formula by feeding the target as the prediction is not
+            # possible from outside, so check scale monotonicity instead:
+            # doubling the target distance ups the loss
+            info2 = dict(info)
+            info2["cls_prob"] = info["cls_prob"] + 10.0
+            b2 = dict(batch, image_info_0=info2)
+            out2 = model.apply(variables, b2, False)
+            assert float(out2["losses"][key]) > float(out["losses"][key])
+
+
 def test_vilbert_coattention_changes_both_streams():
     """With co-attention, image content must influence text-pooled output."""
     cls = registry.get_model_class("vilbert")

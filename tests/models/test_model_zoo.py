@@ -199,25 +199,48 @@ def test_fusion_baselines_direct_features():
 
 
 def test_unimodal_text():
+    # default text.yaml: BoW summed-embedding encoder over `text`
+    # (reference configs/models/unimodal/text.yaml)
+    rng = np.random.RandomState(0)
     mc = load_yaml("configs/models/unimodal/text.yaml")["model_config"][
         "unimodal_text"]
-    mc["text_encoder"]["params"].update(
-        {"hidden_size": 16, "num_hidden_layers": 1,
-         "num_attention_heads": 2, "vocab_size": 50})
-    mc["classifier"]["params"]["hidden_size"] = 16
+    assert mc["text_encoder"]["type"] == "embedding"
+    mc["text_encoder"]["params"]["embedding_params"]["params"][
+        "vocab_size"] = 50
     cls = registry.get_model_class("unimodal_text")
     model = cls(config=mc)
-    rng = np.random.RandomState(0)
     batch = {
-        "input_ids": jnp.asarray(rng.randint(0, 50, (B, 6))),
-        "input_mask": jnp.ones((B, 6), jnp.int32),
-        "segment_ids": jnp.zeros((B, 6), jnp.int32),
+        "text": jnp.asarray(rng.randint(0, 50, (B, 6))),
         "dataset_name": "glue_sst2",
         "dataset_type": "train",
     }
     variables = model.init(RNG, batch, False)
     out = model.apply(variables, batch, False)
     assert out["scores"].shape == (B, 2)
+
+    # bert.yaml: the transformer variant over input_ids (a partial
+    # overlay in the reference too — deep-merge over text.yaml like the
+    # configuration system does)
+    mc2 = dict(mc)
+    mc2.update(load_yaml("configs/models/unimodal/bert.yaml")[
+        "model_config"]["unimodal_text"])
+    mc2["classifier"] = {"type": "mlp",
+                         "params": {"in_dim": 768, "out_dim": 2,
+                                    "num_layers": 0}}
+    mc2["text_encoder"]["params"].update(
+        {"hidden_size": 16, "num_hidden_layers": 1,
+         "num_attention_heads": 2, "vocab_size": 50})
+    model2 = cls(config=mc2)
+    batch2 = {
+        "input_ids": jnp.asarray(rng.randint(0, 50, (B, 6))),
+        "input_mask": jnp.ones((B, 6), jnp.int32),
+        "segment_ids": jnp.zeros((B, 6), jnp.int32),
+        "dataset_name": "glue_sst2",
+        "dataset_type": "train",
+    }
+    v2 = model2.init(RNG, batch2, False)
+    out2 = model2.apply(v2, batch2, False)
+    assert out2["scores"].shape == (B, 2)
 
 
 def test_m4c_captioner():

@@ -126,10 +126,52 @@ def test_alignment_model():
     out = model.apply(variables, batch, False)
     assert out["scores"].shape == (B, 16)
     assert out["targets"].shape == (B, 16)
-    # normalized embeddings
+    # reference defaults: text embeddings normalized, image NOT
+    # (alignment.py:207-209,241-242 norm_text/img_embeddings flags)
     np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["targets"]), axis=-1), 1.0, rtol=1e-4
+    )
+    assert not np.allclose(
         np.linalg.norm(np.asarray(out["scores"]), axis=-1), 1.0, rtol=1e-4
     )
+    assert np.array_equal(np.asarray(out["text_len"]),
+                          np.asarray(batch["input_mask"]).sum(-1))
+
+
+def test_unit_base_args_alias():
+    """Reference configs nest DETR knobs under base_args with their DETR
+    names (configs/models/unit/defaults.yaml:20-50) — they must map onto
+    the flat keys, including the per-task num_queries dict."""
+    registry.register("config", omega.create({"datasets": "detection_coco",
+                                              "training": {}}))
+    mc = omega.create({
+        "base_args": {
+            "enc_layers": 1, "dec_layers": 1, "nheads": 4,
+            "encoder_hidden_dim": 32, "dim_feedforward": 64,
+            "dropout": 0.0, "backbone": "resnet18",
+            "num_queries": {"detection": {"detection_coco": 6}},
+            "share_decoders": True, "eos_coef": 0.2,
+        },
+        "num_classes": 10, "vocab_size": 50, "dtype": "float32",
+        "task_map": {"detection_coco": "detection"},
+    })
+    model = registry.get_model_class("unit")(config=mc)
+    rng = np.random.RandomState(0)
+    det_batch = {
+        "image": jnp.asarray(rng.randn(B, 3, 64, 64).astype(np.float32)),
+        "labels": jnp.asarray([[1, 2, -1], [3, -1, -1]]),
+        "boxes": jnp.asarray(rng.rand(B, 3, 4).astype(np.float32)),
+        "dataset_name": "detection_coco",
+        "dataset_type": "train",
+    }
+    variables = model.init({"params": RNG, "dropout": RNG}, det_batch, True)
+    out, _ = model.apply(
+        variables, det_batch, True, mutable=["batch_stats"],
+        rngs={"dropout": RNG},
+    )
+    # 6 queries from the per-task dict; 32 hidden from encoder_hidden_dim
+    assert out["scores"].shape == (B, 6, 11)
+    assert out["pred_boxes"].shape == (B, 6, 4)
 
 
 def test_unit_detection_and_vl():
