@@ -137,6 +137,21 @@ class CharadesDataset(BaseDataset):
             video = self.video_processor(video)
         sample.video = np.asarray(video, np.float32)
 
+        # optional audio sidecars: <audio_dir>/<video_id>.npy waveforms
+        # (the reference decodes audio from the mp4 inline; offline
+        # extraction is the codec-free equivalent)
+        audio_dir = self.config.get("audio_dir", None)
+        if audio_dir:
+            path = os.path.join(
+                self.config.get("data_dir", ""), audio_dir,
+                info["id"] + ".npy",
+            )
+            if os.path.exists(path):
+                audio = np.load(path).astype(np.float32)
+                if getattr(self, "audio_processor", None) is not None:
+                    audio = self.audio_processor(audio)
+                sample.audio = np.asarray(audio, np.float32)
+
         targets = np.zeros(len(self.classes), np.float32)
         for label in info["labels"]:
             if label in self.class_to_idx:

@@ -117,12 +117,87 @@ class Compose(_Transform):
         return x
 
 
+class RandomCrop(_Transform):
+    def __init__(self, size):
+        self.size = tuple(size) if not isinstance(size, int) else (size, size)
+
+    def __call__(self, x):
+        x = _to_chw_float(x)
+        th, tw = self.size
+        _, h, w = x.shape
+        i = np.random.randint(0, max(h - th, 0) + 1)
+        j = np.random.randint(0, max(w - tw, 0) + 1)
+        return x[:, i:i + th, j:j + tw]
+
+
+class ToPILImage(_Transform):
+    """No-op in this numpy pipeline (arrays stay arrays; the next
+    transform normalizes layout itself)."""
+
+    def __call__(self, x):
+        return x
+
+
+def _mel_filterbank(n_mels, n_fft, sample_rate):
+    """HTK-style triangular mel filterbank [n_mels, n_fft//2+1]."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    fmax = sample_rate / 2.0
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / sample_rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), np.float32)
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+class MelSpectrogram(_Transform):
+    """Waveform [..., time] -> mel power spectrogram [n_mels, frames]
+    (torchaudio-equivalent defaults: hann window, power 2, HTK mels).
+    Multi-channel input is averaged to mono first."""
+
+    def __init__(self, sample_rate=16000, n_fft=400, hop_length=None,
+                 n_mels=128, **kwargs):
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.hop = hop_length or n_fft // 2
+        self.n_mels = n_mels
+        self._fb = _mel_filterbank(n_mels, n_fft, sample_rate)
+
+    def __call__(self, x):
+        wav = np.asarray(x, np.float32)
+        if wav.ndim == 2:  # [channels, time] -> mono
+            wav = wav.mean(axis=0)
+        pad = self.n_fft // 2
+        wav = np.pad(wav, (pad, pad), mode="reflect")
+        n_frames = 1 + (len(wav) - self.n_fft) // self.hop
+        idx = (np.arange(self.n_fft)[None, :]
+               + self.hop * np.arange(n_frames)[:, None])
+        frames = wav[idx] * np.hanning(self.n_fft + 1)[:-1]
+        spec = np.abs(np.fft.rfft(frames, n=self.n_fft, axis=1)) ** 2
+        return (self._fb @ spec.T).astype(np.float32)  # [n_mels, frames]
+
+
 _TRANSFORMS = {
     "Resize": Resize,
     "CenterCrop": CenterCrop,
     "ToTensor": ToTensor,
     "Normalize": Normalize,
     "RandomHorizontalFlip": RandomHorizontalFlip,
+    "RandomCrop": RandomCrop,
+    "ToPILImage": ToPILImage,
+    "MelSpectrogram": MelSpectrogram,
 }
 
 

@@ -91,13 +91,20 @@ class TruncateOrPad(BaseProcessor):
     """Pad/cut audio-like arrays to fixed length
     (reference video_processors.py:116-137)."""
 
-    def __init__(self, *args, output_size=None, **kwargs):
+    def __init__(self, config=None, *args, output_size=None, **kwargs):
+        if output_size is None and isinstance(config, dict):
+            output_size = config.get(
+                "output_size",
+                (config.get("params") or {}).get("output_size"),
+            )
         if output_size is None:
             raise TypeError("Parameter 'output_size' is required")
         self.output_size = output_size
 
     def __call__(self, item):
         x = np.asarray(item["audio"] if isinstance(item, dict) else item)
+        if x.ndim == 1:  # mono waveform -> [1, time]
+            x = x[None, :]
         if x.shape[1] >= self.output_size:
             out = x[0, : self.output_size]
         else:

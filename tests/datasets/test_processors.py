@@ -175,3 +175,33 @@ def test_multi_sentence_bert_tokenizer():
                 "tokenizer_config": {"type": "bert-base-uncased", "vocab_file": "tests/data/vocab.txt"}})
     out = proc({"text": ["hello there", "red apple"]})
     assert out["input_ids"].shape == (16,)
+
+
+def test_charades_audio_processor_chain():
+    """The reference charades audio pipeline (truncate_or_pad ->
+    MelSpectrogram -> ToPILImage, configs/datasets/charades/
+    defaults.yaml) composes through torchvision_transforms."""
+    cls = registry.get_processor_class("torchvision_transforms")
+    proc = cls({"transforms": [
+        {"type": "truncate_or_pad", "params": {"output_size": 1000}},
+        "MelSpectrogram", "ToPILImage"]})
+    rng = np.random.RandomState(0)
+    out = np.asarray(proc(rng.randn(2, 4000).astype(np.float32)))
+    assert out.shape[0] == 128  # mel bins
+    assert np.isfinite(out).all()
+    # mono + shorter-than-output waveforms pad instead of crashing
+    out2 = np.asarray(proc(rng.randn(300).astype(np.float32)))
+    assert out2.shape == out.shape
+
+
+def test_mel_spectrogram_tone():
+    """A pure tone concentrates energy in one mel band region."""
+    from mmf_tpu.datasets.processors.image_processors import MelSpectrogram
+
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t)  # 1 kHz
+    mel = MelSpectrogram(sample_rate=sr)(tone)
+    peak_band = int(mel.mean(axis=1).argmax())
+    # 1 kHz lands mid-low in 128 HTK mel bands for a 8 kHz Nyquist
+    assert 20 <= peak_band <= 70, peak_band
