@@ -134,7 +134,14 @@ class MMFTransformer(BaseTransformer):
                     else jnp.full(tok.shape[:2], -1, jnp.int32)
                 )
             else:
+                # non-text modalities project through Linear + LayerNorm
+                # (reference backends/huggingface.py:78-86: the token
+                # embedding for features is Sequential(Linear, LayerNorm))
+                ln_eps = modality.get("layer_norm_eps", 1e-12)
                 tok = nn.Dense(hidden, name=f"token_proj_{idx}")(raw)
+                tok = nn.LayerNorm(
+                    epsilon=ln_eps, name=f"token_proj_ln_{idx}"
+                )(tok)
                 seq_len = tok.shape[1]
                 mask_attr = f"{key}_mask"
                 mask = sample_list.get(
@@ -157,8 +164,15 @@ class MMFTransformer(BaseTransformer):
                     jnp.full(tok.shape[:2], seg_id, jnp.int32)
                 )
                 emb = emb + seg
-            emb = nn.LayerNorm(epsilon=1e-12, name=f"layer_norm_{idx}")(emb)
-            emb = nn.Dropout(tcfg.hidden_dropout_prob)(emb, deterministic)
+            emb = nn.LayerNorm(
+                epsilon=modality.get("layer_norm_eps", 1e-12),
+                name=f"layer_norm_{idx}",
+            )(emb)
+            emb = nn.Dropout(
+                modality.get(
+                    "hidden_dropout_prob", tcfg.hidden_dropout_prob
+                )
+            )(emb, deterministic)
             embeddings.append(emb)
             masks.append(mask)
 
