@@ -107,3 +107,51 @@ def test_cli_train_resume_val(tmp_path):
     )
     logs = _read_logs(tmp_path)
     assert "val/plugin_numbers/mse" in logs or "val/total_loss" in logs
+
+
+@pytest.mark.slow
+def test_cli_predict_report(tmp_path):
+    """mmf_predict (reference mmf_cli/predict.py): run_type=test with
+    evaluation.predict=true must dump a prediction report under
+    env.report_dir assembled from the dataset's format_for_prediction."""
+    import json
+
+    _run_cli(tmp_path, "run_type=train", "training.max_updates=2")
+
+    cfg = tmp_path / "cli_test.yaml"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    report_dir = tmp_path / "reports"
+    opts = [
+        f"config={cfg}",
+        "model=plugin_linear",
+        "datasets=plugin_numbers",
+        f"env.user_dir={USER_DIR}",
+        f"env.save_dir={tmp_path / 'save'}",
+        f"env.report_dir={report_dir}",
+        "run_type=test",
+        "checkpoint.resume=true",
+        "training.batch_size=4",
+        "training.num_workers=0",
+        "optimizer.type=sgd",
+        "optimizer.params.lr=0.01",
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "mmf_tpu.cli.predict"] + opts,
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"predict failed rc={proc.returncode}\n--- stdout:\n"
+        f"{proc.stdout[-4000:]}\n--- stderr:\n{proc.stderr[-4000:]}"
+    )
+    files = list(report_dir.rglob("*.json")) + list(report_dir.rglob("*.csv"))
+    assert files, f"no report written under {report_dir}"
+    f = [p for p in files if p.suffix == ".json"] or files
+    entries = json.load(open(f[0])) if f[0].suffix == ".json" else None
+    if entries is not None:
+        assert len(entries) == 16, len(entries)
+        ids = sorted(e["id"] for e in entries)
+        assert ids == list(range(16)), ids
+        assert all(isinstance(e["answer"], float) for e in entries)

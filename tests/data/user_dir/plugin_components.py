@@ -38,12 +38,21 @@ class PluginNumbers(BaseDataset):
 
     def load_item(self, idx):
         s = Sample()
+        s["id"] = np.int64(idx)
         s["data"] = np.full((2,), idx, np.float32)
         s["targets"] = np.ones((1,), np.float32)
         return s
 
     def __len__(self):
         return 16
+
+    def format_for_prediction(self, report):
+        scores = np.asarray(report["scores"]).reshape(-1)
+        ids = np.asarray(report["id"]).reshape(-1)
+        return [
+            {"id": int(i), "answer": float(s)}
+            for i, s in zip(ids.tolist(), scores.tolist())
+        ]
 
 
 @registry.register_builder("plugin_numbers")

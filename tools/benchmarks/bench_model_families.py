@@ -82,7 +82,8 @@ def bench_vilt(batch_size):
     }
     meta = {"dataset_name": "vqa2", "dataset_type": "val"}
     model = registry.get_model_class("vilt")(config=cfg)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch, **meta), False)
+    variables = jax.jit(lambda r, b: model.init(r, dict(b, **meta), False))(
+        jax.random.PRNGKey(0), batch)
     return _measure(model, variables, batch, meta)
 
 
@@ -113,7 +114,8 @@ def bench_uniter(batch_size):
     }
     meta = {"dataset_name": "vqa2", "dataset_type": "val"}
     model = registry.get_model_class("uniter")(config=cfg)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch, **meta), False)
+    variables = jax.jit(lambda r, b: model.init(r, dict(b, **meta), False))(
+        jax.random.PRNGKey(0), batch)
     return _measure(model, variables, batch, meta)
 
 
@@ -137,7 +139,8 @@ def bench_mmbt(batch_size):
     }
     meta = {"dataset_name": "hateful_memes", "dataset_type": "val"}
     model = registry.get_model_class("mmbt")(config=cfg)
-    variables = model.init(jax.random.PRNGKey(0), dict(batch, **meta), False)
+    variables = jax.jit(lambda r, b: model.init(r, dict(b, **meta), False))(
+        jax.random.PRNGKey(0), batch)
     return _measure(model, variables, batch, meta)
 
 
