@@ -6,6 +6,7 @@ from __future__ import annotations
 from mmf_tpu.common.registry import registry
 
 
+@registry.register_trainer("base")
 class BaseTrainer:
     def __init__(self, config):
         self.config = config

@@ -216,6 +216,41 @@ HF_VIT_KEY_MAP = {
 }
 
 
+# timm-style ViT (the reference's vendored ALBEF VisionTransformer,
+# mmf/models/albef/vit.py:522-667) -> our pre-LN ViTModel. Fused qkv
+# weights must be split with ``split_timm_qkv`` before conversion.
+TIMM_VIT_KEY_MAP = {
+    r"patch_embed\.proj": "embeddings.projection",
+    r"^(vit\.)?cls_token$": r"\1embeddings.cls_token",
+    r"^(vit\.)?pos_embed$": r"\1embeddings.position_embeddings",
+    r"blocks\.(\d+)\.norm1": r"encoder.layer_\1.layernorm_before",
+    r"blocks\.(\d+)\.norm2": r"encoder.layer_\1.layernorm_after",
+    r"blocks\.(\d+)\.attn\.q": r"encoder.layer_\1.attention_query",
+    r"blocks\.(\d+)\.attn\.k": r"encoder.layer_\1.attention_key",
+    r"blocks\.(\d+)\.attn\.v": r"encoder.layer_\1.attention_value",
+    r"blocks\.(\d+)\.attn\.proj": r"encoder.layer_\1.attention_output_dense",
+    r"blocks\.(\d+)\.mlp\.fc1": r"encoder.layer_\1.intermediate_dense",
+    r"blocks\.(\d+)\.mlp\.fc2": r"encoder.layer_\1.output_dense",
+    r"^(vit\.)?norm\.": r"\1layernorm.",
+}
+
+
+def split_timm_qkv(state_dict: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Split timm's fused ``attn.qkv.{weight,bias}`` ([3D, D] rows stacked
+    q,k,v — mmf/models/albef/vit.py:434) into separate q/k/v entries so
+    the name-matched converter can place them."""
+    out = {}
+    for key, val in state_dict.items():
+        if ".attn.qkv." in key:
+            arr = np.asarray(val)
+            q, k, v = np.split(arr, 3, axis=0)
+            for name, part in (("q", q), ("k", k), ("v", v)):
+                out[key.replace(".attn.qkv.", f".attn.{name}.")] = part
+        else:
+            out[key] = val
+    return out
+
+
 def convert_torch_lstm_weights(
     weight_ih: np.ndarray,
     weight_hh: np.ndarray,
