@@ -281,6 +281,41 @@ def convert_torch_lstm_weights(
     return out
 
 
+def convert_torch_gru_weights(
+    weight_ih: np.ndarray,
+    weight_hh: np.ndarray,
+    bias_ih: Optional[np.ndarray] = None,
+    bias_hh: Optional[np.ndarray] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Torch GRU layer weights -> flax GRUCell params.
+
+    Torch packs gates as [r, z, n] rows of [3H, E]/[3H, H]; both
+    formulations compute n = tanh(W_in x + b_in + r * (W_hn h + b_hn)), so
+    r/z input biases fold to b_ir+b_hr while the n-gate biases stay
+    separate (flax ``in``/``hn`` both carry a bias; ``hr``/``hz`` have
+    none)."""
+    H = weight_hh.shape[1]
+    gates = ("r", "z", "n")
+    z = np.zeros((3 * H,), weight_ih.dtype)
+    bias_ih = z if bias_ih is None else bias_ih
+    bias_hh = z if bias_hh is None else bias_hh
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for idx, gate in enumerate(gates):
+        rows = slice(idx * H, (idx + 1) * H)
+        i_name = "in" if gate == "n" else f"i{gate}"
+        i_bias = (bias_ih[rows] if gate == "n"
+                  else bias_ih[rows] + bias_hh[rows])
+        out[i_name] = {
+            "kernel": np.ascontiguousarray(weight_ih[rows].T),
+            "bias": np.ascontiguousarray(i_bias),
+        }
+        hcell = {"kernel": np.ascontiguousarray(weight_hh[rows].T)}
+        if gate == "n":
+            hcell["bias"] = np.ascontiguousarray(bias_hh[rows])
+        out[f"h{gate}"] = hcell
+    return out
+
+
 # ViLBERT zoo checkpoints (trunk under "bert."): two-stream layer names
 # onto our flax tree (models/vilbert.py). Patterns are unanchored so the
 # same map works under wrapper prefixes.
