@@ -224,31 +224,38 @@ class M4C(BaseModel):
             "mmt": c.get("lr_scale_mmt", 1.0),
         }
 
+    @staticmethod
+    def _bert_cfg_from(section, defaults):
+        """BertConfig(**section) analog (reference m4c.py:39,72): every
+        recognized key flows through — dropping e.g. the dropout probs
+        would silently train with the 0.1 defaults."""
+        cfg = dict(defaults)
+        for key in (
+            "vocab_size", "hidden_size", "num_hidden_layers",
+            "num_attention_heads", "intermediate_size",
+            "hidden_dropout_prob", "attention_probs_dropout_prob",
+            "max_position_embeddings", "type_vocab_size", "hidden_act",
+            "layer_norm_eps", "initializer_range",
+        ):
+            if key in section:
+                cfg[key] = section[key]
+        cfg.setdefault(
+            "intermediate_size", cfg.get("hidden_size", 768) * 4
+        )
+        return TransformerConfig.from_dict(cfg)
+
     def _mmt_cfg(self):
         mmt = dict(self.config.get("mmt", {}) or {})
-        return TransformerConfig.from_dict(
-            {
-                "hidden_size": mmt.get("hidden_size", 768),
-                "num_hidden_layers": mmt.get("num_hidden_layers", 4),
-                "num_attention_heads": mmt.get("num_attention_heads", 12),
-                "intermediate_size": mmt.get(
-                    "intermediate_size", mmt.get("hidden_size", 768) * 4
-                ),
-            }
+        return self._bert_cfg_from(
+            mmt, {"hidden_size": 768, "num_hidden_layers": 4,
+                  "num_attention_heads": 12}
         )
 
     def _text_cfg(self):
         tb = dict(self.config.get("text_bert", {}) or {})
-        return TransformerConfig.from_dict(
-            {
-                "vocab_size": tb.get("vocab_size", 30522),
-                "hidden_size": tb.get("hidden_size", 768),
-                "num_hidden_layers": tb.get("num_hidden_layers", 3),
-                "num_attention_heads": tb.get("num_attention_heads", 12),
-                "intermediate_size": tb.get(
-                    "intermediate_size", tb.get("hidden_size", 768) * 4
-                ),
-            }
+        return self._bert_cfg_from(
+            tb, {"vocab_size": 30522, "hidden_size": 768,
+                 "num_hidden_layers": 3, "num_attention_heads": 12}
         )
 
     def setup(self):
@@ -326,9 +333,9 @@ class M4C(BaseModel):
         obj_fc6 = sample_list["image_feature_0"]
         obj_fc7 = _normalize(obj_fc7_enc(obj_fc6))
         obj_bbox = sample_list["obj_bbox_coordinates"]
-        obj_mmt_in = nn.LayerNorm(name="obj_feat_layer_norm")(
+        obj_mmt_in = nn.LayerNorm(epsilon=1e-5, name="obj_feat_layer_norm")(
             nn.Dense(hidden, name="linear_obj_feat_to_mmt_in")(obj_fc7)
-        ) + nn.LayerNorm(name="obj_bbox_layer_norm")(
+        ) + nn.LayerNorm(epsilon=1e-5, name="obj_bbox_layer_norm")(
             nn.Dense(hidden, name="linear_obj_bbox_to_mmt_in")(obj_bbox)
         )
         obj_mmt_in = nn.Dropout(c["obj"].get("dropout_prob", 0.1))(
@@ -360,9 +367,9 @@ class M4C(BaseModel):
             ocr_feat = jnp.zeros_like(ocr_feat)
         if c["ocr"].get("remove_ocr_bbox", False):
             ocr_bbox = jnp.zeros_like(ocr_bbox)
-        ocr_mmt_in = nn.LayerNorm(name="ocr_feat_layer_norm")(
+        ocr_mmt_in = nn.LayerNorm(epsilon=1e-5, name="ocr_feat_layer_norm")(
             nn.Dense(hidden, name="linear_ocr_feat_to_mmt_in")(ocr_feat)
-        ) + nn.LayerNorm(name="ocr_bbox_layer_norm")(
+        ) + nn.LayerNorm(epsilon=1e-5, name="ocr_bbox_layer_norm")(
             nn.Dense(hidden, name="linear_ocr_bbox_to_mmt_in")(ocr_bbox)
         )
         ocr_mmt_in = nn.Dropout(c["ocr"].get("dropout_prob", 0.1))(

@@ -255,13 +255,13 @@ class SelfAttention(nn.Module):
         att = MovieMcanMultiHeadAttention(
             self.dim, self.num_attn, self.dropout, name="mhatt"
         )(x, x, x, x_mask, deterministic)
-        x = nn.LayerNorm(name="ln1")(
+        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(
             x + nn.Dropout(self.dropout)(att, deterministic)
         )
         ff = MCANFFN(self.dim, self.dim * 4, self.dropout, name="ffn")(
             x, deterministic
         )
-        x = nn.LayerNorm(name="ln2")(
+        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(
             x + nn.Dropout(self.dropout)(ff, deterministic)
         )
         return x
@@ -279,19 +279,19 @@ class SelfGuidedAttention(nn.Module):
         att1 = MovieMcanMultiHeadAttention(
             self.dim, self.num_attn, self.dropout, name="mhatt1"
         )(x, x, x, x_mask, deterministic)
-        x = nn.LayerNorm(name="ln1")(
+        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(
             x + nn.Dropout(self.dropout)(att1, deterministic)
         )
         att2 = MovieMcanMultiHeadAttention(
             self.dim, self.num_attn, self.dropout, name="mhatt2"
         )(x, y, y, y_mask, deterministic)
-        x = nn.LayerNorm(name="ln2")(
+        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(
             x + nn.Dropout(self.dropout)(att2, deterministic)
         )
         ff = MCANFFN(self.dim, self.dim * 4, self.dropout, name="ffn")(
             x, deterministic
         )
-        x = nn.LayerNorm(name="ln3")(
+        x = nn.LayerNorm(epsilon=1e-5, name="ln3")(
             x + nn.Dropout(self.dropout)(ff, deterministic)
         )
         return x

@@ -395,7 +395,7 @@ class CBNEmbedding(nn.Module):
             emb_dim = out_dim
         # adaptive avg pool to 1x1 == mean over spatial
         x = x.mean(axis=(2, 3))
-        return nn.LayerNorm(name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
 
 
 class TwoBranchEmbedding(nn.Module):

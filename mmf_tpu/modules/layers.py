@@ -60,7 +60,7 @@ class ConvNet(nn.Module):
             strides=(self.pool_stride, self.pool_stride),
         )
         if self.batch_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return jnp.transpose(x, (0, 3, 1, 2))
 
 
@@ -166,7 +166,7 @@ class MLPClassifier(nn.Module):
         for i in range(self.num_layers):
             x = nn.Dense(hidden, name=f"dense_{i}")(x)
             if self.batch_norm:
-                x = nn.LayerNorm(name=f"norm_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
             x = act(x)
             x = nn.Dropout(self.dropout)(x, deterministic)
         return nn.Dense(self.out_dim, name="out")(x)
@@ -547,13 +547,14 @@ class BranchCombineLayer(nn.Module):
     def __call__(self, v_cga, v_cbn, q, train=False):
         out_dim = self.img_dim * 2
         feat = [
-            nn.LayerNorm(name="ln0")(
+            nn.LayerNorm(epsilon=1e-5, name="ln0")(
                 nn.Dense(out_dim, name="linear_ques0")(q)
                 + nn.Dense(out_dim, name="linear_cbn0")(v_cbn)
                 + nn.Dense(out_dim, name="linear_cga0")(v_cga)
             ),
-            nn.LayerNorm(name="ln1")(nn.Dense(out_dim, name="linear_cbn1")(v_cbn)),
-            nn.LayerNorm(name="ln2")(
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(
+                nn.Dense(out_dim, name="linear_cbn1")(v_cbn)),
+            nn.LayerNorm(epsilon=1e-5, name="ln2")(
                 nn.Dense(out_dim, name="linear_ques1")(q)
                 + nn.Dense(out_dim, name="linear_cga1")(v_cga)
             ),

@@ -224,7 +224,7 @@ class MultiScaleAttention(nn.Module):
             new_thw = s.shape[1:4]
             s = s.reshape(B, heads, -1, head_dim)
             out = jnp.concatenate([cls_tok, s], axis=2)
-            out = nn.LayerNorm(name=f"{name}_norm")(out)
+            out = nn.LayerNorm(epsilon=1e-6, name=f"{name}_norm")(out)
             return out, new_thw
 
         q, q_thw = pool(q, self.q_stride, "pool_q")
@@ -253,7 +253,7 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x, thw):
         B, N, C = x.shape
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         h, new_thw = MultiScaleAttention(
             self.dim, self.num_heads, self.q_stride, self.kv_stride,
             self.pool_kernel, name="attn",
@@ -271,7 +271,7 @@ class MultiScaleBlock(nn.Module):
             x = jnp.concatenate([cls_tok, s.reshape(B, -1, C)], axis=1)
         x = x + h
 
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         mlp = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
         from mmf_tpu.modules.transformer import ACT2FN
 
@@ -343,7 +343,7 @@ class MViT(nn.Module):
                 tuple(self.pool_kvq_kernel), name=f"block{i}",
             )(x, thw)
             dim = dim_out
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
 _MVIT_PRESETS = {

@@ -80,6 +80,10 @@ def _torch_key_to_flax_path(key: str) -> Tuple[Tuple[str, ...], str]:
                  or body[-1] == "LayerNorm"):
         kind = "scale" if leaf == "weight" else "bias"
         return tuple(body), kind
+    # (Frozen)BatchNorm keeps torch leaf names verbatim in our modules
+    # (bottleneck.py FrozenBatchNorm2d: weight/bias/running_mean/running_var)
+    if body and re.fullmatch(r"bn\d*|.*batch_?norm\d*", body_l[-1]):
+        return tuple(body + [leaf]), "other"
     if leaf == "weight":
         return tuple(body), "kernel"
     if leaf == "bias":
