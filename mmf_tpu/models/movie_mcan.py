@@ -43,10 +43,13 @@ class MoVieMcan(BaseModel):
             self._dataset() + "_num_final_outputs", no_warning=True
         ) or c.get("num_labels", 3129)
 
-        texts = nn.Embed(vocab_size, 300, name="word_embedding")(
-            sample_list["text"].astype(jnp.int32)
-        )
+        text_ids = sample_list["text"].astype(jnp.int32)
+        texts = nn.Embed(vocab_size, 300, name="word_embedding")(text_ids)
+        # True where padding (reference movie_mcan.py:258
+        # ``sample_list.text_mask = sample_list.text.eq(0)``)
         text_mask = sample_list.get("text_mask", None)
+        if text_mask is None:
+            text_mask = text_ids == 0
 
         text_total, text_vec = SAEmbedding(
             te["hidden_dim"], te.get("embedding_dim", 300),
@@ -88,22 +91,25 @@ class MoVieMcan(BaseModel):
                 feature = feature[:, : side * side].transpose(0, 2, 1)
                 feature = feature.reshape(b, ch, side, side)
 
+        # pooled text vector 0 conditions the MoVie branch; vector 1 is
+        # the question arm of the combine layer (reference
+        # movie_mcan.py:263-270 — vec[:, 0] and vec[:, 1])
         x_sga, x_cbn = TwoBranchEmbedding(
             embedding_dim=feature.shape[1],
-            cond_dim=fe.get("cond_dim", te["hidden_dim"] * 2),
+            cond_dim=fe.get("cond_dim", te["hidden_dim"]),
             hidden_dim=fe.get("hidden_dim", 512),
             num_attn=fe.get("num_attn", 8),
             num_layers=fe.get("num_layers", 6),
             dropout=fe.get("dropout", 0.1),
             cbn_num_layers=fe.get("cbn_num_layers", 4),
             name="image_feature_embeddings_list",
-        )(feature, text_total, text_vec.reshape(text_vec.shape[0], -1),
-          None, text_mask, deterministic)
+        )(feature, text_total, text_vec[:, 0], None, text_mask,
+          deterministic)
 
         joint = BranchCombineLayer(
-            x_sga.shape[-1], text_vec.reshape(text_vec.shape[0], -1).shape[-1],
+            x_sga.shape[-1], text_vec.shape[-1],
             name="combine_layer",
-        )(x_sga, x_cbn, text_vec.reshape(text_vec.shape[0], -1), train)
+        )(x_sga, x_cbn, text_vec[:, 1], train)
 
         scores = TripleLinear(num_choices, name="classifier")(joint, train)
         return {"scores": scores}
