@@ -56,12 +56,14 @@ class CNNLSTM(BaseModel):
 
         lstm_cfg = self.config["lstm"]
         hidden_size = lstm_cfg["hidden_size"]
-        fwd = nn.RNN(nn.OptimizedLSTMCell(hidden_size), name="lstm_fwd")
+        fwd = nn.RNN(
+            nn.OptimizedLSTMCell(hidden_size, name="lstm_fwd")
+        )
         out_f = fwd(emb)
         if lstm_cfg.get("bidirectional", False):
             bwd = nn.RNN(
-                nn.OptimizedLSTMCell(hidden_size), reverse=True,
-                keep_order=True, name="lstm_bwd",
+                nn.OptimizedLSTMCell(hidden_size, name="lstm_bwd"),
+                reverse=True, keep_order=True,
             )
             out_b = bwd(emb)
             hidden = jnp.concatenate([out_f[:, -1], out_b[:, 0]], axis=-1)

@@ -32,8 +32,9 @@ def wn_dense(features: int, name: str = None, scalar_norm: bool = True):
 
 
 class ConvNet(nn.Module):
-    """conv + leaky-relu + maxpool + norm (reference layers.py:12-41).
-    BatchNorm -> LayerNorm over channels (stateless under SPMD)."""
+    """conv + leaky-relu + maxpool + BatchNorm (reference layers.py:12-41).
+    Real BatchNorm semantics (flax ``batch_stats`` collection; the trainer
+    threads mutable collections through the fused step)."""
 
     out_channels: int
     kernel_size: int
@@ -60,7 +61,10 @@ class ConvNet(nn.Module):
             strides=(self.pool_stride, self.pool_stride),
         )
         if self.batch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+            x = nn.BatchNorm(
+                use_running_average=deterministic, epsilon=1e-5,
+                name="norm",
+            )(x)
         return jnp.transpose(x, (0, 3, 1, 2))
 
 
@@ -166,7 +170,12 @@ class MLPClassifier(nn.Module):
         for i in range(self.num_layers):
             x = nn.Dense(hidden, name=f"dense_{i}")(x)
             if self.batch_norm:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
+                # real BatchNorm1d semantics (reference layers.py:178);
+                # batch_stats flow through the trainer's mutable step
+                x = nn.BatchNorm(
+                    use_running_average=deterministic, epsilon=1e-5,
+                    name=f"norm_{i}",
+                )(x)
             x = act(x)
             x = nn.Dropout(self.dropout)(x, deterministic)
         return nn.Dense(self.out_dim, name="out")(x)

@@ -87,7 +87,7 @@ class VocabDict:
             vocab_file = get_absolute_path(os.path.join(data_dir, vocab_file))
         if not os.path.exists(vocab_file):
             raise RuntimeError(
-                f"Vocab file {vocab_file} for vocab dict doesn't exist"
+                f"no vocab file at {vocab_file}"
             )
         self.word_list = load_str_list(vocab_file)
         self._build()
@@ -105,17 +105,14 @@ class VocabDict:
     def idx2word(self, n_w: int) -> str:
         return self.word_list[n_w]
 
-    def __len__(self):
-        return len(self.word_list)
+    def __len__(self): return len(self.word_list)
 
     def get_size(self) -> int:
         return len(self.word_list)
 
-    def get_unk_index(self):
-        return self.UNK_INDEX
+    def get_unk_index(self): return self.UNK_INDEX
 
-    def get_unk_token(self):
-        return self.UNK_TOKEN
+    def get_unk_token(self): return self.UNK_TOKEN
 
     def word2idx(self, w: str) -> int:
         if w in self.word2idx_dict:
@@ -263,5 +260,4 @@ class NucleusSampling(TextDecoder):
         finished = next_word == self._vocab.EOS_INDEX
         return finished, data, np.asarray([0] if not finished else [])
 
-    def get_result(self):
-        return np.asarray([self.seq])
+    def get_result(self): return np.asarray([self.seq])

@@ -71,41 +71,29 @@ class BaseVocab:
             np.float32
         )
 
-    def get_itos(self):
-        return self.itos
+    def get_itos(self): return self.itos
 
-    def get_stoi(self):
-        return self.stoi
+    def get_stoi(self): return self.stoi
 
-    def get_size(self):
-        return len(self.itos)
+    def get_size(self): return len(self.itos)
 
-    def get_pad_index(self):
-        return self.PAD_INDEX
+    def get_pad_index(self): return self.PAD_INDEX
 
-    def get_pad_token(self):
-        return self.PAD_TOKEN
+    def get_pad_token(self): return self.PAD_TOKEN
 
-    def get_start_index(self):
-        return self.SOS_INDEX
+    def get_start_index(self): return self.SOS_INDEX
 
-    def get_start_token(self):
-        return self.SOS_TOKEN
+    def get_start_token(self): return self.SOS_TOKEN
 
-    def get_end_index(self):
-        return self.EOS_INDEX
+    def get_end_index(self): return self.EOS_INDEX
 
-    def get_end_token(self):
-        return self.EOS_TOKEN
+    def get_end_token(self): return self.EOS_TOKEN
 
-    def get_unk_index(self):
-        return self.UNK_INDEX
+    def get_unk_index(self): return self.UNK_INDEX
 
-    def get_unk_token(self):
-        return self.UNK_TOKEN
+    def get_unk_token(self): return self.UNK_TOKEN
 
-    def get_vectors(self):
-        return self.vectors
+    def get_vectors(self): return self.vectors
 
     def get_embedding_params(self):
         """Returns (vocab_size, embedding_dim, init_vectors) for flax Embed
@@ -122,7 +110,7 @@ class CustomVocab(BaseVocab):
         if not os.path.isabs(embedding_file) and data_dir is not None:
             embedding_file = os.path.join(data_dir, embedding_file)
         if not os.path.exists(embedding_file):
-            raise RuntimeError(f"Embedding file path {embedding_file} doesn't exist")
+            raise RuntimeError(f"no embedding file at {embedding_file}")
         embedding_vectors = np.load(embedding_file)
         self.vectors = np.zeros(
             (self.get_size(), embedding_vectors.shape[1]), np.float32
@@ -212,7 +200,7 @@ class ModelVocab(BaseVocab):
         self.type = "model"
         if not os.path.exists(model_file):
             raise RuntimeError(
-                f"Model file doesn't exist at {model_file}"
+                f"no fasttext model at {model_file}"
             )
         try:
             import fasttext
@@ -236,8 +224,7 @@ class ExtractedVocab(BaseVocab):
         self.emb_dim = emb_dim
         self.base_path = base_path
 
-    def get_dim(self):
-        return self.emb_dim
+    def get_dim(self): return self.emb_dim
 
 
 class Vocab:
