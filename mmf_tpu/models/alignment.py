@@ -35,11 +35,17 @@ class CMSharedTransformer(BaseModel):
         deterministic = not train
         c = self.config
         final_dim = c.get("final_hidden_size", 512)
+        # reference alignment.py:138-140 hardcodes
+        # torch.nn.TransformerEncoderLayer(final_hidden_size, 4, 2048,
+        # dropout=0.1, activation="relu"): 4 heads, 2048 FFN, relu, and
+        # torch's LayerNorm default eps 1e-5
         tcfg = TransformerConfig.from_dict(
             {
                 "hidden_size": final_dim,
-                "num_attention_heads": c.get("num_attention_heads", 8),
-                "intermediate_size": final_dim * 4,
+                "num_attention_heads": c.get("num_attention_heads", 4),
+                "intermediate_size": c.get("intermediate_size", 2048),
+                "hidden_act": c.get("hidden_act", "relu"),
+                "layer_norm_eps": c.get("layer_norm_eps", 1e-5),
                 "dtype": c.get("dtype", "float32"),
             }
         )

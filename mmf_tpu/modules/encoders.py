@@ -495,7 +495,10 @@ def build_image_encoder(config, direct_features: bool = False):
             return IdentityEncoder(in_dim=params.get("in_dim", 2048))
         if etype == "projection":
             params.setdefault("module", "linear")
-            return ProjectionEmbedding(**params)
+            fields = ProjectionEmbedding.__dataclass_fields__
+            return ProjectionEmbedding(
+                **{k: v for k, v in params.items() if k in fields}
+            )
         if etype == "finetune_faster_rcnn_fpn_fc7":
             return FinetuneFasterRcnnFpnFc7(**params)
         raise NotImplementedError(f"Unknown Image Feature Encoder: {etype}")

@@ -303,3 +303,284 @@ def test_fusion_model_full_parity(fusion_ref, model_name):
     out = model.apply({"params": params}, batch, False)
     np.testing.assert_allclose(np.asarray(out["scores"]), t_scores,
                                atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# unimodal baselines (reference mmf/models/unimodal.py:41-110)
+# ---------------------------------------------------------------------------
+def test_unimodal_text_full_parity(fusion_ref):
+    import torch
+    from omegaconf import OmegaConf
+
+    import mmf.models.unimodal as ref_unimodal
+
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config import omega
+
+    cfg = {
+        "text_hidden_size": H,
+        "num_labels": NUM_LABELS,
+        "text_encoder": dict(FUSION_CFG["text_encoder"]),
+        "classifier": {"type": "mlp",
+                       "params": {"in_dim": H, "out_dim": NUM_LABELS,
+                                  "num_layers": 0}},
+    }
+    torch.manual_seed(17)
+    t_model = ref_unimodal.UnimodalText(OmegaConf.create(cfg))
+    t_model.build()
+    t_model.eval()
+
+    batch = _fusion_batch()
+    sl = SimpleNamespace(
+        input_ids=torch.from_numpy(batch["input_ids"]),
+        input_mask=torch.from_numpy(batch["input_mask"]),
+        segment_ids=torch.from_numpy(batch["segment_ids"]),
+    )
+    sl.__contains__ = lambda self, k: hasattr(self, k)
+    with torch.no_grad():
+        t_scores = t_model(_DictNS(vars(sl)))["scores"].numpy()
+
+    registry.register("config", omega.create({"datasets": "hateful_memes",
+                                              "training": {}}))
+    model = registry.get_model_class("unimodal_text")(config=omega.create(cfg))
+
+    import jax
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    params = jax.tree_util.tree_map(np.asarray, variables)["params"]
+
+    from mmf_tpu.utils.checkpoint_updater import (
+        HF_BERT_KEY_MAP,
+        convert_torch_state_dict,
+    )
+    sd = _np_sd(t_model)
+    trunk_sd = {}
+    for k, v in sd.items():
+        if not k.startswith("base.encoder."):
+            continue
+        key = k[len("base.encoder."):]
+        if key.startswith("module."):
+            key = key[len("module."):]
+        trunk_sd[key] = v
+    enc_name = next(k for k in params if "transformer" in k.lower())
+    converted, stats = convert_torch_state_dict(
+        trunk_sd, params[enc_name]["module"], key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0, stats
+    params[enc_name]["module"] = converted
+    key = next(k for k in (f"classifier.module.layers.0.weight",
+                           f"classifier.layers.0.weight") if k in sd)
+    params["classifier"]["module"]["out"] = {
+        "kernel": np.ascontiguousarray(sd[key].T),
+        "bias": sd[key[:-len("weight")] + "bias"],
+    }
+    out = model.apply({"params": params}, batch, False)
+    np.testing.assert_allclose(np.asarray(out["scores"]), t_scores,
+                               atol=ATOL)
+
+
+class _DictNS(SimpleNamespace):
+    """SampleList stand-in: attribute access + `in` membership."""
+
+    def __init__(self, d):
+        super().__init__(**d)
+
+    def __contains__(self, key):
+        return hasattr(self, key)
+
+
+def test_unimodal_image_full_parity(ref):
+    import jax
+    import torch
+    from omegaconf import OmegaConf
+
+    import mmf.models.unimodal as ref_unimodal
+
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config import omega
+
+    OUT = 12
+    cfg = {
+        "direct_features_input": True,
+        "modal_hidden_size": OUT,
+        "num_labels": NUM_LABELS,
+        "modal_encoder": {
+            "type": "projection",
+            "params": {"in_dim": MH, "out_dim": OUT,
+                       "num_output_features": 1},
+        },
+        "classifier": {"type": "mlp",
+                       "params": {"in_dim": OUT, "out_dim": NUM_LABELS,
+                                  "num_layers": 0}},
+    }
+    torch.manual_seed(19)
+    t_model = ref_unimodal.UnimodalModal(OmegaConf.create(cfg))
+    t_model.build()
+    t_model.eval()
+
+    rng = np.random.RandomState(23)
+    feats = rng.randn(B2, NF, MH).astype(np.float32)
+    with torch.no_grad():
+        t_scores = t_model(_DictNS(
+            {"image_feature_0": torch.from_numpy(feats)}
+        ))["scores"].numpy()
+
+    registry.register("config", omega.create({"datasets": "hateful_memes",
+                                              "training": {}}))
+    model = registry.get_model_class("unimodal_image")(
+        config=omega.create(cfg)
+    )
+    batch = {"image_feature_0": feats, "dataset_name": "hateful_memes",
+             "dataset_type": "val"}
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    params = jax.tree_util.tree_map(np.asarray, variables)["params"]
+
+    sd = _np_sd(t_model)
+    proj_w = next(v for k, v in sd.items()
+                  if "layers.weight" in k and k.startswith("base."))
+    proj_b = next(v for k, v in sd.items()
+                  if "layers.bias" in k and k.startswith("base."))
+    enc_name = next(k for k in params if "projection" in k.lower()
+                    or "Projection" in k)
+    params[enc_name]["layers"] = {
+        "kernel": np.ascontiguousarray(proj_w.T), "bias": proj_b,
+    }
+    key = next(k for k in ("classifier.module.layers.0.weight",
+                           "classifier.layers.0.weight") if k in sd)
+    params["classifier"]["module"]["out"] = {
+        "kernel": np.ascontiguousarray(sd[key].T),
+        "bias": sd[key[:-len("weight")] + "bias"],
+    }
+    out = model.apply({"params": params}, batch, False)
+    np.testing.assert_allclose(np.asarray(out["scores"]), t_scores,
+                               atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# cm_shared_transformer (reference mmf/models/alignment.py:106-253)
+# ---------------------------------------------------------------------------
+def test_cm_shared_transformer_full_parity(fusion_ref):
+    import jax
+    import torch
+    from omegaconf import OmegaConf
+
+    import mmf.models.alignment as ref_alignment
+
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config import omega
+    from mmf_tpu.utils.checkpoint_updater import (
+        HF_BERT_KEY_MAP,
+        convert_torch_state_dict,
+    )
+
+    FINAL, IN_IMG, GRID = 8, 10, 49  # 7x7 grid exercises the sine pos emb
+    cfg = {
+        "final_hidden_size": FINAL,
+        "norm_img_embeddings": False,
+        "norm_text_embeddings": True,
+        "direct_features_input": False,
+        "image_encoder": {"type": "identity", "params": {"in_dim": IN_IMG}},
+        "text_encoder": dict(FUSION_CFG["text_encoder"]),
+        "image_projection": {"type": "linear",
+                             "params": {"in_dim": IN_IMG, "out_dim": FINAL}},
+        "text_projection": {"type": "linear",
+                            "params": {"in_dim": H, "out_dim": FINAL}},
+    }
+    torch.manual_seed(29)
+    t_model = ref_alignment.CMSharedTransformer(OmegaConf.create(cfg))
+    t_model.eval()
+
+    rng = np.random.RandomState(31)
+    batch = {
+        "input_ids": rng.randint(0, V, (B2, T)).astype(np.int64),
+        "input_mask": np.concatenate(
+            [np.ones((B2, T - 2), np.int64), np.zeros((B2, 2), np.int64)], 1
+        ),
+        "segment_ids": np.zeros((B2, T), np.int64),
+        "image": rng.randn(B2, GRID, IN_IMG).astype(np.float32),
+        "dataset_name": "flickr30k", "dataset_type": "val",
+    }
+    with torch.no_grad():
+        t_out = t_model(_DictNS({
+            k: torch.from_numpy(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)
+        }))
+    t_scores = t_out["scores"].numpy()
+    t_targets = t_out["targets"].numpy()
+
+    registry.register("config", omega.create({"datasets": "flickr30k",
+                                              "training": {}}))
+    model = registry.get_model_class("cm_shared_transformer")(
+        config=omega.create(cfg)
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    params = jax.tree_util.tree_map(np.asarray, variables)["params"]
+    sd = _np_sd(t_model)
+
+    # trunk
+    trunk_sd = {}
+    for k, v in sd.items():
+        if k.startswith("text_encoder."):
+            key = k[len("text_encoder."):]
+            if key.startswith("module."):
+                key = key[len("module."):]
+            trunk_sd[key] = v
+    enc_name = next(k for k in params if "transformer" in k.lower()
+                    and k != "shared_transformer_0")
+    converted, stats = convert_torch_state_dict(
+        trunk_sd, params[enc_name]["module"], key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0, stats
+    params[enc_name]["module"] = converted
+
+    # projections (ClassifierLayer type=linear -> possibly .module level)
+    for ours, theirs in (("text_projection", "text_proj"),
+                         ("image_projection", "image_proj")):
+        wkey = next(k for k in (f"{theirs}.module.weight", f"{theirs}.weight")
+                    if k in sd)
+        params[ours] = {"kernel": np.ascontiguousarray(sd[wkey].T),
+                        "bias": sd[wkey[:-len("weight")] + "bias"]}
+
+    # shared transformer: torch packed qkv -> our per-gate denses
+    for i in range(2):
+        p = f"shared_transformer.layers.{i}."
+        lp = params[f"shared_transformer_{i}"]
+        wq, wk, wv = np.split(sd[p + "self_attn.in_proj_weight"], 3, axis=0)
+        bq, bk, bv = np.split(sd[p + "self_attn.in_proj_bias"], 3, axis=0)
+        att = lp["attention"]
+        att["query"] = {"kernel": np.ascontiguousarray(wq.T), "bias": bq}
+        att["key"] = {"kernel": np.ascontiguousarray(wk.T), "bias": bk}
+        att["value"] = {"kernel": np.ascontiguousarray(wv.T), "bias": bv}
+        att["output_dense"] = {
+            "kernel": np.ascontiguousarray(sd[p + "self_attn.out_proj.weight"].T),
+            "bias": sd[p + "self_attn.out_proj.bias"],
+        }
+        att["output_layer_norm"] = {"scale": sd[p + "norm1.weight"],
+                                    "bias": sd[p + "norm1.bias"]}
+        ffn = lp["ffn"]
+        ffn["intermediate_dense"] = {
+            "kernel": np.ascontiguousarray(sd[p + "linear1.weight"].T),
+            "bias": sd[p + "linear1.bias"],
+        }
+        ffn["output_dense"] = {
+            "kernel": np.ascontiguousarray(sd[p + "linear2.weight"].T),
+            "bias": sd[p + "linear2.bias"],
+        }
+        ffn["output_layer_norm"] = {"scale": sd[p + "norm2.weight"],
+                                    "bias": sd[p + "norm2.bias"]}
+
+    # attention pools
+    for pool in ("text_pool", "image_pool"):
+        params[pool]["lin1"] = {
+            "kernel": np.ascontiguousarray(sd[f"{pool}.linear.0.weight"].T),
+            "bias": sd[f"{pool}.linear.0.bias"],
+        }
+        params[pool]["lin2"] = {
+            "kernel": np.ascontiguousarray(sd[f"{pool}.linear.3.weight"].T),
+            "bias": sd[f"{pool}.linear.3.bias"],
+        }
+
+    out = model.apply({"params": params}, batch, False)
+    np.testing.assert_allclose(np.asarray(out["scores"]), t_scores,
+                               atol=ATOL)
+    np.testing.assert_allclose(np.asarray(out["targets"]), t_targets,
+                               atol=ATOL)

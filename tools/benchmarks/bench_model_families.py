@@ -144,16 +144,46 @@ def bench_mmbt(batch_size):
     return _measure(model, variables, batch, meta)
 
 
+def bench_vilbert(batch_size):
+    import jax
+
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.config.configuration import load_yaml
+
+    cfg = dict(load_yaml("configs/models/vilbert/defaults.yaml")
+               ["model_config"]["vilbert"])
+    cfg.update(training_head_type="classification", num_labels=3129,
+               dtype="bfloat16", hidden_dropout_prob=0.0)
+    rng = np.random.RandomState(0)
+    T, R = 128, 100
+    batch = {
+        "input_ids": rng.randint(0, 30522, (batch_size, T)),
+        "input_mask": np.ones((batch_size, T), np.int32),
+        "segment_ids": np.zeros((batch_size, T), np.int32),
+        "image_feature_0": rng.randn(batch_size, R, 2048).astype(np.float32),
+        "image_info_0": {
+            "max_features": np.full((batch_size,), R),
+            "bbox": rng.rand(batch_size, R, 5).astype(np.float32),
+        },
+    }
+    meta = {"dataset_name": "vqa2", "dataset_type": "val"}
+    model = registry.get_model_class("vilbert")(config=cfg)
+    variables = jax.jit(lambda r, b: model.init(r, dict(b, **meta), False))(
+        jax.random.PRNGKey(0), batch)
+    return _measure(model, variables, batch, meta)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--models", default="vilt,uniter,mmbt")
+    p.add_argument("--models", default="vilt,uniter,mmbt,vilbert")
     args = p.parse_args()
 
     from mmf_tpu.utils.env import setup_imports
 
     setup_imports()
-    fns = {"vilt": bench_vilt, "uniter": bench_uniter, "mmbt": bench_mmbt}
+    fns = {"vilt": bench_vilt, "uniter": bench_uniter,
+           "mmbt": bench_mmbt, "vilbert": bench_vilbert}
     results = {}
     for name in args.models.split(","):
         sps = fns[name](args.batch)

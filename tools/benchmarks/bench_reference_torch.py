@@ -97,9 +97,67 @@ def measure(batch_size=64, seq_len=128, regions=100, warmup=1, iters=3):
     }
 
 
+def measure_train(batch_size=32, seq_len=128, regions=100, warmup=1,
+                  iters=3):
+    """Reference train step: fp32 forward + BCE-with-logits loss +
+    backward + AdamW, mirroring our bench_train.py shapes (B=32)."""
+    import numpy as np
+    import torch
+
+    trunk, classifier = build_reference_visual_bert()
+    trunk.train()
+    classifier.train()
+    params = list(trunk.parameters()) + list(classifier.parameters())
+    opt = torch.optim.AdamW(params, lr=1e-5)
+
+    rng = np.random.RandomState(0)
+    input_ids = torch.from_numpy(rng.randint(0, 30522, (batch_size, seq_len)))
+    token_type_ids = torch.zeros((batch_size, seq_len), dtype=torch.long)
+    visual = torch.from_numpy(
+        rng.randn(batch_size, regions, 2048).astype(np.float32)
+    )
+    visual_type = torch.ones((batch_size, regions), dtype=torch.long)
+    mask = torch.ones((batch_size, seq_len + regions))
+    targets = torch.from_numpy(
+        (rng.rand(batch_size, 3129) > 0.5).astype(np.float32)
+    )
+
+    times = []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        opt.zero_grad()
+        _, pooled, _ = trunk(
+            input_ids, mask, token_type_ids, visual, visual_type
+        )
+        scores = classifier(pooled)
+        loss = torch.nn.functional.binary_cross_entropy_with_logits(
+            scores, targets
+        ) * targets.size(1)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 1.0)
+        opt.step()
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+    best = min(times)
+    return {
+        "mode": "train",
+        "samples_per_sec": round(batch_size / best, 2),
+        "sec_per_step": round(best, 3),
+        "batch_size": batch_size,
+        "torch_threads": __import__("torch").get_num_threads(),
+        "iters": iters,
+    }
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--train", action="store_true")
     args = p.parse_args()
-    print(json.dumps(measure(batch_size=args.batch, iters=args.iters)))
+    if args.train:
+        print(json.dumps(measure_train(batch_size=args.batch,
+                                       iters=args.iters)))
+    else:
+        print(json.dumps(measure(batch_size=args.batch, iters=args.iters)))
