@@ -48,20 +48,25 @@ class CrossAttLayer(nn.Module):
                  deterministic=True):
         c = self.cfg
         h = c.num_attention_heads
-        q = nn.Dense(c.hidden_size, name="query")(input_tensor)
-        k = nn.Dense(c.hidden_size, name="key")(ctx_tensor)
-        v = nn.Dense(c.hidden_size, name="value")(ctx_tensor)
+        q = nn.Dense(c.hidden_size, name="query", dtype=c.dtype,
+                     param_dtype=jnp.float32)(input_tensor)
+        k = nn.Dense(c.hidden_size, name="key", dtype=c.dtype,
+                     param_dtype=jnp.float32)(ctx_tensor)
+        v = nn.Dense(c.hidden_size, name="value", dtype=c.dtype,
+                     param_dtype=jnp.float32)(ctx_tensor)
         rate = 0.0 if deterministic else c.attention_probs_dropout_prob
         ctx = dot_product_attention(
             _split(q, h), _split(k, h), _split(v, h), ctx_bias,
             dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
-        out = nn.Dense(c.hidden_size, name="output_dense")(_merge(ctx))
+        out = nn.Dense(c.hidden_size, name="output_dense", dtype=c.dtype,
+                       param_dtype=jnp.float32)(_merge(ctx))
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(
-            out + input_tensor
-        )
+        return nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="output_ln",
+            dtype=c.dtype, param_dtype=jnp.float32,
+        )(out + input_tensor)
 
 
 class LXMERTXLayer(nn.Module):
@@ -102,11 +107,15 @@ class VisualFeatEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, boxes, deterministic=True):
         c = self.cfg
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="visn_ln")(
-            nn.Dense(c.hidden_size, name="visn_fc")(feats)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="visn_ln",
+                         dtype=c.dtype, param_dtype=jnp.float32)(
+            nn.Dense(c.hidden_size, name="visn_fc", dtype=c.dtype,
+                     param_dtype=jnp.float32)(feats)
         )
-        y = nn.LayerNorm(epsilon=c.layer_norm_eps, name="box_ln")(
-            nn.Dense(c.hidden_size, name="box_fc")(boxes)
+        y = nn.LayerNorm(epsilon=c.layer_norm_eps, name="box_ln",
+                         dtype=c.dtype, param_dtype=jnp.float32)(
+            nn.Dense(c.hidden_size, name="box_fc", dtype=c.dtype,
+                     param_dtype=jnp.float32)(boxes)
         )
         out = (x + y) / 2
         return nn.Dropout(c.hidden_dropout_prob)(out, deterministic)

@@ -131,7 +131,7 @@ class MMT(nn.Module):
         ext = ext.at[:, :, -dec_max_num:, -dec_max_num:].set(
             causal[None, None]
         )
-        bias = (1.0 - ext) * -10000.0
+        bias = ((1.0 - ext) * -10000.0).astype(self.cfg.dtype)
 
         seq = self.encoder(encoder_inputs, bias=bias,
                            deterministic=deterministic)
@@ -161,7 +161,9 @@ class MMT(nn.Module):
         max-subtraction."""
         enc_in = jnp.concatenate([txt_emb, obj_emb, ocr_emb], axis=1)
         enc_mask = jnp.concatenate([txt_mask, obj_mask, ocr_mask], axis=1)
-        bias = (1.0 - enc_mask[:, None, None, :]) * -10000.0
+        bias = ((1.0 - enc_mask[:, None, None, :]) * -10000.0).astype(
+            self.cfg.dtype
+        )
         seq, kvs = self.encoder(
             enc_in, bias=bias, deterministic=deterministic, return_kv=True
         )
@@ -184,7 +186,8 @@ class MMT(nn.Module):
             jnp.tril(jnp.ones((T, T), jnp.float32))[None, None],
             (B, 1, T, T),
         )
-        bias = (1.0 - jnp.concatenate([enc_part, causal], -1)) * -10000.0
+        bias = ((1.0 - jnp.concatenate([enc_part, causal], -1))
+                * -10000.0).astype(self.cfg.dtype)
         return self.encoder(
             dec_emb, bias=bias, deterministic=deterministic,
             prefix_kvs=prefix_kvs,
@@ -235,7 +238,7 @@ class M4C(BaseModel):
             "num_attention_heads", "intermediate_size",
             "hidden_dropout_prob", "attention_probs_dropout_prob",
             "max_position_embeddings", "type_vocab_size", "hidden_act",
-            "layer_norm_eps", "initializer_range",
+            "layer_norm_eps", "initializer_range", "dtype",
         ):
             if key in section:
                 cfg[key] = section[key]
@@ -246,6 +249,7 @@ class M4C(BaseModel):
 
     def _mmt_cfg(self):
         mmt = dict(self.config.get("mmt", {}) or {})
+        mmt.setdefault("dtype", self.config.get("dtype", "float32"))
         return self._bert_cfg_from(
             mmt, {"hidden_size": 768, "num_hidden_layers": 4,
                   "num_attention_heads": 12}
@@ -253,6 +257,7 @@ class M4C(BaseModel):
 
     def _text_cfg(self):
         tb = dict(self.config.get("text_bert", {}) or {})
+        tb.setdefault("dtype", self.config.get("dtype", "float32"))
         return self._bert_cfg_from(
             tb, {"vocab_size": 30522, "hidden_size": 768,
                  "num_hidden_layers": 3, "num_attention_heads": 12}

@@ -35,6 +35,7 @@ class UNITERImageEmbeddings(nn.Module):
     hidden_size: int = 768
     eps: float = 1e-12
     hidden_dropout_prob: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, img_feat, img_pos_feat, type_embeddings,
@@ -52,14 +53,25 @@ class UNITERImageEmbeddings(nn.Module):
             img_feat = img_feat + (
                 table(masks) * masks[..., None].astype(img_feat.dtype)
             )
-        im = nn.LayerNorm(epsilon=self.eps, name="img_layer_norm")(
-            nn.Dense(self.hidden_size, name="img_linear")(img_feat)
+        im = nn.LayerNorm(
+            epsilon=self.eps, name="img_layer_norm",
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(
+            nn.Dense(self.hidden_size, name="img_linear",
+                     dtype=self.dtype, param_dtype=jnp.float32)(img_feat)
         )
-        pos = nn.LayerNorm(epsilon=self.eps, name="pos_layer_norm")(
-            nn.Dense(self.hidden_size, name="pos_linear")(img_pos_feat)
+        pos = nn.LayerNorm(
+            epsilon=self.eps, name="pos_layer_norm",
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(
+            nn.Dense(self.hidden_size, name="pos_linear",
+                     dtype=self.dtype, param_dtype=jnp.float32)(img_pos_feat)
         )
         emb = im + pos + type_embeddings
-        emb = nn.LayerNorm(epsilon=self.eps, name="final_layer_norm")(emb)
+        emb = nn.LayerNorm(
+            epsilon=self.eps, name="final_layer_norm",
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(emb)
         return nn.Dropout(self.hidden_dropout_prob)(emb, deterministic)
 
 
@@ -129,6 +141,7 @@ class UNITERModelBase(nn.Module):
         img = UNITERImageEmbeddings(
             self.cfg.hidden_size,
             hidden_dropout_prob=self.cfg.hidden_dropout_prob,
+            dtype=self.cfg.dtype,
             name="img_embeddings",
         )(img_feat, img_pos_feat, type_emb, img_masks, deterministic)
 

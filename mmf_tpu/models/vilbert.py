@@ -33,6 +33,26 @@ from mmf_tpu.modules.transformer import (
 from mmf_tpu.ops.attention import dot_product_attention, make_attention_bias
 
 
+def _cdtype(c):
+    """Compute dtype for the two-stream stack. Params stay float32; a
+    ``dtype: bfloat16`` config key switches activations/gemms to bf16
+    (same policy as modules/transformer.py)."""
+    d = c.get("dtype", None) if hasattr(c, "get") else None
+    if d in ("bfloat16", "bf16") or d is jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _vdense(c, features, name):
+    return nn.Dense(features, name=name, dtype=_cdtype(c),
+                    param_dtype=jnp.float32)
+
+
+def _vln(c, name):
+    return nn.LayerNorm(epsilon=1e-12, name=name, dtype=_cdtype(c),
+                        param_dtype=jnp.float32)
+
+
 def _split_heads(x, h):
     b, s, d = x.shape
     return x.reshape(b, s, h, d // h).transpose(0, 2, 1, 3)
@@ -55,17 +75,17 @@ class ImageSelfAttention(nn.Module):
         c = self.cfg
         v_hidden = c["v_hidden_size"]
         h = c["v_num_attention_heads"]
-        q = nn.Dense(v_hidden, name="query")(hidden)
-        k = nn.Dense(v_hidden, name="key")(hidden)
-        v = nn.Dense(v_hidden, name="value")(hidden)
+        q = _vdense(c, v_hidden, "query")(hidden)
+        k = _vdense(c, v_hidden, "key")(hidden)
+        v = _vdense(c, v_hidden, "value")(hidden)
 
         if c.get("dynamic_attention", False):
             m = txt_attention_mask.astype(txt_embedding.dtype)[..., None]
             pool = jnp.sum(txt_embedding * m, axis=1) / jnp.maximum(
                 jnp.sum(m, axis=1), 1.0
             )
-            gate_q = 1 + nn.sigmoid(nn.Dense(v_hidden, name="dyLinear_q")(pool))
-            gate_k = 1 + nn.sigmoid(nn.Dense(v_hidden, name="dyLinear_k")(pool))
+            gate_q = 1 + nn.sigmoid(_vdense(c, v_hidden, "dyLinear_q")(pool))
+            gate_k = 1 + nn.sigmoid(_vdense(c, v_hidden, "dyLinear_k")(pool))
             q = q * gate_q[:, None, :]
             k = k * gate_k[:, None, :]
 
@@ -93,17 +113,17 @@ class ImageLayer(nn.Module):
         att = ImageSelfAttention(c, name="attention_self")(
             hidden, bias, txt_embedding, txt_attention_mask, deterministic
         )
-        att = nn.Dense(v_hidden, name="attention_output_dense")(att)
+        att = _vdense(c, v_hidden, "attention_output_dense")(att)
         att = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(att, deterministic)
-        hidden = nn.LayerNorm(epsilon=1e-12, name="attention_ln")(att + hidden)
+        hidden = _vln(c, "attention_ln")(att + hidden)
 
-        inter = nn.Dense(c["v_intermediate_size"], name="intermediate_dense")(
+        inter = _vdense(c, c["v_intermediate_size"], "intermediate_dense")(
             hidden
         )
         inter = ACT2FN[c.get("v_hidden_act", "gelu")](inter)
-        out = nn.Dense(v_hidden, name="output_dense")(inter)
+        out = _vdense(c, v_hidden, "output_dense")(inter)
         out = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(out, deterministic)
-        return nn.LayerNorm(epsilon=1e-12, name="output_ln")(out + hidden)
+        return _vln(c, "output_ln")(out + hidden)
 
 
 class TextLayer(nn.Module):
@@ -114,9 +134,9 @@ class TextLayer(nn.Module):
         c = self.cfg
         hsz = c["hidden_size"]
         h = c["num_attention_heads"]
-        q = nn.Dense(hsz, name="query")(hidden)
-        k = nn.Dense(hsz, name="key")(hidden)
-        v = nn.Dense(hsz, name="value")(hidden)
+        q = _vdense(c, hsz, "query")(hidden)
+        k = _vdense(c, hsz, "key")(hidden)
+        v = _vdense(c, hsz, "value")(hidden)
         rate = 0.0 if deterministic else c.get(
             "attention_probs_dropout_prob", 0.1
         )
@@ -125,16 +145,16 @@ class TextLayer(nn.Module):
             dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
-        att = nn.Dense(hsz, name="attention_output_dense")(_merge_heads(ctx))
+        att = _vdense(c, hsz, "attention_output_dense")(_merge_heads(ctx))
         att = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(att, deterministic)
-        hidden = nn.LayerNorm(epsilon=1e-12, name="attention_ln")(att + hidden)
+        hidden = _vln(c, "attention_ln")(att + hidden)
 
         inter = ACT2FN[c.get("hidden_act", "gelu")](
-            nn.Dense(c["intermediate_size"], name="intermediate_dense")(hidden)
+            _vdense(c, c["intermediate_size"], "intermediate_dense")(hidden)
         )
-        out = nn.Dense(hsz, name="output_dense")(inter)
+        out = _vdense(c, hsz, "output_dense")(inter)
         out = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(out, deterministic)
-        return nn.LayerNorm(epsilon=1e-12, name="output_ln")(out + hidden)
+        return _vln(c, "output_ln")(out + hidden)
 
 
 class ConnectionLayer(nn.Module):
@@ -150,12 +170,12 @@ class ConnectionLayer(nn.Module):
         bi = c["bi_hidden_size"]
         h = c["bi_num_attention_heads"]
 
-        q1 = nn.Dense(bi, name="query1")(v_hidden)
-        k1 = nn.Dense(bi, name="key1")(v_hidden)
-        va1 = nn.Dense(bi, name="value1")(v_hidden)
-        q2 = nn.Dense(bi, name="query2")(t_hidden)
-        k2 = nn.Dense(bi, name="key2")(t_hidden)
-        va2 = nn.Dense(bi, name="value2")(t_hidden)
+        q1 = _vdense(c, bi, "query1")(v_hidden)
+        k1 = _vdense(c, bi, "key1")(v_hidden)
+        va1 = _vdense(c, bi, "value1")(v_hidden)
+        q2 = _vdense(c, bi, "query2")(t_hidden)
+        k2 = _vdense(c, bi, "key2")(t_hidden)
+        va2 = _vdense(c, bi, "value2")(t_hidden)
 
         # probs dropout per direction (reference BertBiAttention dropout1/
         # dropout2, vilbert.py:347-475)
@@ -183,36 +203,36 @@ class ConnectionLayer(nn.Module):
         ctx2 = _merge_heads(ctx2)  # [B, T_img, bi]
 
         # BiOutput (reference naming: dense1 consumes ctx2->image stream)
-        v_ctx = nn.Dense(c["v_hidden_size"], name="biout_dense1")(ctx2)
+        v_ctx = _vdense(c, c["v_hidden_size"], "biout_dense1")(ctx2)
         v_ctx = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(
             v_ctx, deterministic
         )
-        v_att = nn.LayerNorm(epsilon=1e-12, name="biout_ln1")(v_ctx + v_hidden)
+        v_att = _vln(c, "biout_ln1")(v_ctx + v_hidden)
 
-        t_ctx = nn.Dense(c["hidden_size"], name="biout_dense2")(ctx1)
+        t_ctx = _vdense(c, c["hidden_size"], "biout_dense2")(ctx1)
         t_ctx = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(
             t_ctx, deterministic
         )
-        t_att = nn.LayerNorm(epsilon=1e-12, name="biout_ln2")(t_ctx + t_hidden)
+        t_att = _vln(c, "biout_ln2")(t_ctx + t_hidden)
 
         # per-stream FFNs
         v_int = ACT2FN[c.get("v_hidden_act", "gelu")](
-            nn.Dense(c["v_intermediate_size"], name="v_intermediate")(v_att)
+            _vdense(c, c["v_intermediate_size"], "v_intermediate")(v_att)
         )
-        v_out = nn.Dense(c["v_hidden_size"], name="v_output")(v_int)
+        v_out = _vdense(c, c["v_hidden_size"], "v_output")(v_int)
         v_out = nn.Dropout(c.get("v_hidden_dropout_prob", 0.1))(
             v_out, deterministic
         )
-        v_final = nn.LayerNorm(epsilon=1e-12, name="v_output_ln")(v_out + v_att)
+        v_final = _vln(c, "v_output_ln")(v_out + v_att)
 
         t_int = ACT2FN[c.get("hidden_act", "gelu")](
-            nn.Dense(c["intermediate_size"], name="t_intermediate")(t_att)
+            _vdense(c, c["intermediate_size"], "t_intermediate")(t_att)
         )
-        t_out = nn.Dense(c["hidden_size"], name="t_output")(t_int)
+        t_out = _vdense(c, c["hidden_size"], "t_output")(t_int)
         t_out = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(
             t_out, deterministic
         )
-        t_final = nn.LayerNorm(epsilon=1e-12, name="t_output_ln")(t_out + t_att)
+        t_final = _vln(c, "t_output_ln")(t_out + t_att)
 
         return v_final, t_final
 
@@ -233,7 +253,8 @@ class ViLBertBase(nn.Module):
                 k: c.get(k)
                 for k in ("vocab_size", "hidden_size", "num_attention_heads",
                           "intermediate_size", "hidden_dropout_prob",
-                          "max_position_embeddings", "type_vocab_size")
+                          "max_position_embeddings", "type_vocab_size",
+                          "dtype")
                 if c.get(k) is not None
             }
         )
@@ -244,19 +265,19 @@ class ViLBertBase(nn.Module):
             image_attention_mask = jnp.ones(image_feature.shape[:2],
                                             input_ids.dtype)
 
-        t_bias = make_attention_bias(attention_mask)
-        v_bias = make_attention_bias(image_attention_mask)
+        t_bias = make_attention_bias(attention_mask, _cdtype(c))
+        v_bias = make_attention_bias(image_attention_mask, _cdtype(c))
 
         # embeddings
         txt = TextEmbeddings(tcfg, name="embeddings")(
             input_ids, token_type_ids, deterministic=deterministic
         )
-        img = nn.Dense(c["v_hidden_size"], name="v_image_embeddings")(
+        img = _vdense(c, c["v_hidden_size"], "v_image_embeddings")(
             image_feature
-        ) + nn.Dense(c["v_hidden_size"], name="v_location_embeddings")(
+        ) + _vdense(c, c["v_hidden_size"], "v_location_embeddings")(
             image_location
         )
-        img = nn.LayerNorm(epsilon=1e-12, name="v_embeddings_ln")(img)
+        img = _vln(c, "v_embeddings_ln")(img)
         img = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(img, deterministic)
 
         t_layers = [
@@ -302,10 +323,10 @@ class ViLBertBase(nn.Module):
         # poolers: project CLS / first region into bi_hidden; the reference
         # uses ReLU here, not BERT's usual tanh (vilbert.py:799-825)
         pooled_t = nn.relu(
-            nn.Dense(c["bi_hidden_size"], name="t_pooler")(txt[:, 0])
+            _vdense(c, c["bi_hidden_size"], "t_pooler")(txt[:, 0])
         )
         pooled_v = nn.relu(
-            nn.Dense(c["bi_hidden_size"], name="v_pooler")(img[:, 0])
+            _vdense(c, c["bi_hidden_size"], "v_pooler")(img[:, 0])
         )
         return txt, img, pooled_t, pooled_v
 
@@ -379,7 +400,8 @@ class ViLBERT(BaseModel):
 
         tcfg = TransformerConfig.from_dict(
             {"vocab_size": c.get("vocab_size", 30522),
-             "hidden_size": c.get("hidden_size", 768)}
+             "hidden_size": c.get("hidden_size", 768),
+             "dtype": c.get("dtype", "float32")}
         )
         output: Dict[str, Any] = {}
         ds = sample_list.get("dataset_name", "unknown")
@@ -530,7 +552,8 @@ class ViLBERT(BaseModel):
                     [pooled[: b // 2], pooled[b // 2:]], axis=1
                 )
             clf_cfg = TransformerConfig.from_dict(
-                {"hidden_size": pooled.shape[-1]}
+                {"hidden_size": pooled.shape[-1],
+                 "dtype": c.get("dtype", "float32")}
             )
             x = PredictionHeadTransform(clf_cfg, name="classifier_transform")(
                 pooled
