@@ -47,6 +47,7 @@ class CMSharedTransformer(BaseModel):
                 "hidden_act": c.get("hidden_act", "relu"),
                 "layer_norm_eps": c.get("layer_norm_eps", 1e-5),
                 "dtype": c.get("dtype", "float32"),
+                "quant": c.get("quant", "none"),
             }
         )
 

@@ -238,7 +238,7 @@ class M4C(BaseModel):
             "num_attention_heads", "intermediate_size",
             "hidden_dropout_prob", "attention_probs_dropout_prob",
             "max_position_embeddings", "type_vocab_size", "hidden_act",
-            "layer_norm_eps", "initializer_range", "dtype",
+            "layer_norm_eps", "initializer_range", "dtype", "quant",
         ):
             if key in section:
                 cfg[key] = section[key]
@@ -250,6 +250,7 @@ class M4C(BaseModel):
     def _mmt_cfg(self):
         mmt = dict(self.config.get("mmt", {}) or {})
         mmt.setdefault("dtype", self.config.get("dtype", "float32"))
+        mmt.setdefault("quant", self.config.get("quant", "none"))
         return self._bert_cfg_from(
             mmt, {"hidden_size": 768, "num_hidden_layers": 4,
                   "num_attention_heads": 12}
@@ -258,6 +259,7 @@ class M4C(BaseModel):
     def _text_cfg(self):
         tb = dict(self.config.get("text_bert", {}) or {})
         tb.setdefault("dtype", self.config.get("dtype", "float32"))
+        tb.setdefault("quant", self.config.get("quant", "none"))
         return self._bert_cfg_from(
             tb, {"vocab_size": 30522, "hidden_size": 768,
                  "num_hidden_layers": 3, "num_attention_heads": 12}

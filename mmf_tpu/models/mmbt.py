@@ -148,6 +148,7 @@ class MMBT(BaseModel):
             "vocab_size": text_params.get("vocab_size", 30522),
             "type_vocab_size": text_params.get("num_segments", 2),
             "dtype": self.config.get("dtype", "float32"),
+            "quant": self.config.get("quant", "none"),
         }
         return TransformerConfig.from_dict(base)
 

@@ -182,6 +182,7 @@ class UNITER(BaseModel):
                 "vocab_size": get("vocab_size", 30522),
                 "hidden_dropout_prob": get("hidden_dropout_prob", 0.0),
                 "dtype": get("dtype", "float32"),
+                "quant": get("quant", "none"),
             }
         )
 

@@ -53,6 +53,7 @@ class VinVL(BaseModel):
                 ),
                 "layer_norm_eps": c.get("layer_norm_eps", 1e-12),
                 "dtype": c.get("dtype", "float32"),
+                "quant": c.get("quant", "none"),
             }
         )
 

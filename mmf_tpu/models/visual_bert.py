@@ -147,7 +147,7 @@ class VisualBERT(BaseModel):
                     "num_attention_heads", "intermediate_size", "hidden_act",
                     "hidden_dropout_prob", "attention_probs_dropout_prob",
                     "max_position_embeddings", "type_vocab_size",
-                    "layer_norm_eps", "dtype", "remat",
+                    "layer_norm_eps", "dtype", "remat", "quant",
                 )
                 if self.config.get(k) is not None
             }

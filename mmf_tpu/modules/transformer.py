@@ -79,6 +79,11 @@ class TransformerConfig:
     # (jax.checkpoint_policies: keep matmul outputs, recompute
     # elementwise). Measured sweep in BENCH_NOTES.md.
     remat: Any = False
+    # "none" | "int8": route the trunk's Dense matmuls through the
+    # int8 MXU path (dynamic per-token activation + per-channel weight
+    # quantization, ops/quant.py). Serving-precision knob; params stay
+    # f32 so checkpoints are unaffected. MMF_TPU_QUANT overrides.
+    quant: str = "none"
 
     @classmethod
     def from_dict(cls, d, **overrides):
@@ -117,7 +122,27 @@ class ResidualLayerNorm(nn.Module):
         )
 
 
-def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Dense:
+def _quant_mode(cfg: TransformerConfig) -> str:
+    import os
+
+    forced = os.environ.get("MMF_TPU_QUANT", "").lower()
+    if forced in ("int8",):
+        return "int8"
+    if forced in ("none", "off", "float", "0"):
+        return "none"
+    return (cfg.quant or "none").lower()
+
+
+def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Module:
+    if _quant_mode(cfg) == "int8":
+        from mmf_tpu.ops.quant import QuantDense
+
+        return QuantDense(
+            features,
+            dtype=cfg.dtype,
+            kernel_init=nn.initializers.normal(cfg.initializer_range),
+            name=name,
+        )
     return nn.Dense(
         features,
         dtype=cfg.dtype,

@@ -722,3 +722,75 @@ def test_visual_bert_pretraining_mlm_parity(ref):
     j_loss = -(picked * valid).sum() / valid.sum()
     np.testing.assert_allclose(j_loss, float(t_out["masked_lm_loss"]),
                                atol=1e-5)
+
+
+def test_visual_bert_int8_serving_tracks_reference(ref):
+    """The int8 serving path (ops/quant.py) applied to CONVERTED reference
+    weights: outputs must track the torch reference within 8-bit rounding
+    (a serving-precision guarantee the reference itself cannot offer — it
+    has no quantized path). Same setup as the full-visual parity test."""
+    import jax
+    import torch
+    from transformers import BertConfig
+
+    from mmf_tpu.models.visual_bert import VisualBertBase
+    from mmf_tpu.modules.transformer import TransformerConfig
+
+    torch.manual_seed(0)
+    bert_config = BertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    tmodel = ref["visual_bert"].VisualBERTBase(
+        bert_config, visual_embedding_dim=8
+    ).eval()
+
+    kw = dict(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    jmodel = VisualBertBase(TransformerConfig(**kw), visual_embedding_dim=8)
+    qmodel = VisualBertBase(
+        TransformerConfig(quant="int8", **kw), visual_embedding_dim=8
+    )
+
+    B, S, R = 2, 6, 4
+    rng = np.random.RandomState(0)
+    input_ids = rng.randint(0, 120, (B, S))
+    token_type_ids = np.zeros((B, S), np.int64)
+    visual = rng.randn(B, R, 8).astype(np.float32)
+    visual_type = np.ones((B, R), np.int64)
+    mask = np.ones((B, S + R), np.float32)
+
+    with torch.no_grad():
+        t_seq, t_pooled, _ = tmodel(
+            torch.from_numpy(input_ids),
+            torch.from_numpy(mask),
+            torch.from_numpy(token_type_ids),
+            torch.from_numpy(visual),
+            torch.from_numpy(visual_type),
+        )
+
+    params = jmodel.init(
+        jax.random.PRNGKey(0), input_ids, mask, token_type_ids, visual,
+        visual_type,
+    )
+    converted, stats = convert_torch_state_dict(
+        _state_dict_np(tmodel), params["params"], key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0
+
+    args = (input_ids, mask, token_type_ids, visual, visual_type)
+    f_seq, f_pooled = jmodel.apply({"params": converted}, *args)
+    q_seq, q_pooled = qmodel.apply({"params": converted}, *args)
+    # knob engages (int8 result differs bit-for-bit from the f32 one) ...
+    assert not np.array_equal(np.asarray(q_seq), np.asarray(f_seq))
+    # ... and stays within quantization noise of the torch reference
+    t_seq, t_pooled = t_seq.numpy(), t_pooled.numpy()
+    scale = np.abs(t_seq).max()
+    assert np.abs(np.asarray(q_seq) - t_seq).max() < 0.05 * scale
+    assert np.abs(np.asarray(q_pooled) - t_pooled).max() < 0.05
