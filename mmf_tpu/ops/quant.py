@@ -13,14 +13,17 @@ This module exposes that path as a drop-in for the trunk's Dense layers:
   the two scale vectors, bias and output-dtype cast fused into the same
   epilogue
 
-The gemm+epilogue is a Pallas kernel on TPU: stacked in a real encoder,
-the XLA lowering materializes the int32 gemm output to HBM before the
-dequant fusion reads it back — at FFN shapes that is a ~180 MB
-round-trip per gemm that erases the MXU's int8 win (measured: 12-layer
-encoder 19.32 ms int8-XLA vs 19.18 ms bf16, while one isolated layer
-wins 1.45 vs 1.59 ms). The kernel keeps the int32 tile in VMEM and
-writes the dequantized+biased compute-dtype tile directly.
-MMF_TPU_QUANT_KERNEL=xla forces the plain-XLA lowering.
+Kernel dispatch: the default lowering is plain XLA. Stacked in a real
+encoder the XLA path is roughly bf16-parity (measured: 12-layer encoder
+19.32 ms int8-XLA vs 19.18 ms bf16 at B=64 S=228, while one isolated
+layer wins 1.45 vs 1.59 ms — the int32 gemm output round-trips HBM
+before the dequant fusion). A fused Pallas gemm+epilogue was built to
+keep the int32 tile in VMEM (MMF_TPU_QUANT_KERNEL=pallas) but measured
+SLOWER on v5e (29.87 ms vs 21.31 ms bf16 at B=64 S=256) — Mosaic's
+int8 dot lowering does not beat XLA's here — so it stays opt-in for
+future tuning; int8's realized value today is isolated-gemm regimes
+(wide classifier heads, retrieval scoring) rather than the stacked
+trunk.
 
 The gradient is straight-through (backward uses the exact f32 matmul
 VJP), so enabling int8 during training is well-defined QAT rather than a

@@ -1,0 +1,231 @@
+"""ServingEngine: fixed-shape batched inference over a jitted forward.
+
+XLA compiles one executable per input shape, so a server must not feed
+it the raw request count as a batch dimension — 31 concurrent users
+would mean 31 compilations. The engine quantizes every batch to a small
+ladder of bucket sizes (pad by tiling the final sample, trim outputs
+back), so after warmup the jit cache holds exactly ``len(buckets)``
+executables and no request ever waits on a compile.
+
+The forward contract matches the framework's models: a callable
+``apply_fn(variables, batch) -> output`` where ``batch`` is a (possibly
+nested) dict whose array leaves share a leading batch dimension, and
+``output`` is a pytree of arrays with the same leading dimension
+(non-batched leaves pass through untouched). ``from_checkpoint`` wires
+this up from a saved MMF checkpoint the same way the interactive
+pipeline does (reference mmf/utils/inference.py:15-76), but any flax
+``apply`` or exported StableHLO call (utils/export.py) drops in.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def _default_buckets(max_batch: int):
+    out, b = [], 1
+    while b < max_batch:
+        out.append(b)
+        b *= 2
+    out.append(max_batch)
+    return tuple(out)
+
+
+def _is_array(v) -> bool:
+    return isinstance(v, np.ndarray) or hasattr(v, "dtype")
+
+
+def _stack_samples(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a list of sample dicts into one batch dict. Array leaves
+    stack along a new leading axis; non-array fields must agree across
+    the batch and pass through as static metadata."""
+    batch: Dict[str, Any] = {}
+    first = samples[0]
+    for key, v0 in first.items():
+        vals = [s[key] for s in samples]
+        if isinstance(v0, dict):
+            batch[key] = _stack_samples(vals)
+        elif _is_array(v0):
+            batch[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            if any(v != v0 for v in vals[1:]):
+                raise ValueError(
+                    f"non-array field {key!r} differs within a batch: "
+                    f"{sorted(set(map(repr, vals)))}"
+                )
+            batch[key] = v0
+    return batch
+
+
+def _pad_batch(tree, n: int, target: int):
+    """Tile each array leaf's final row so the leading dim reaches
+    ``target``. Tiling a real sample (not zeros) keeps every padded lane
+    numerically typical — no masking surprises, outputs are trimmed."""
+    if isinstance(tree, dict):
+        return {k: _pad_batch(v, n, target) for k, v in tree.items()}
+    if _is_array(tree) and getattr(tree, "ndim", 0) >= 1:
+        arr = np.asarray(tree)
+        if arr.shape[0] == n and target > n:
+            reps = np.repeat(arr[-1:], target - n, axis=0)
+            return np.concatenate([arr, reps], axis=0)
+        return arr
+    return tree
+
+
+def _flatten_statics(statics: Dict[str, Any], prefix=()) -> tuple:
+    """Nested static-field dict -> hashable sorted tuple of
+    ((path, ...), value) pairs, suitable as a jit static argument."""
+    items = []
+    for k in sorted(statics):
+        v = statics[k]
+        if isinstance(v, dict):
+            items.extend(_flatten_statics(v, prefix + (k,)))
+        else:
+            items.append((prefix + (k,), v))
+    return tuple(items)
+
+
+def _unflatten_statics(items: tuple) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for path, v in items:
+        node = out
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return out
+
+
+def _trim_split(tree, n: int, batch: int):
+    """Trim output leaves with a ``batch`` leading dim to ``n`` rows and
+    split per-sample; non-batched leaves replicate to every sample."""
+    if isinstance(tree, dict):
+        per_key = {k: _trim_split(v, n, batch) for k, v in tree.items()}
+        return [
+            {k: v[i] for k, v in per_key.items()} for i in range(n)
+        ]
+    arr = np.asarray(tree)
+    if arr.ndim >= 1 and arr.shape[0] == batch:
+        return [arr[i] for i in range(n)]
+    return [arr] * n
+
+
+class ServingEngine:
+    """Bucket-padded batched inference. Thread-compatible: calls into
+    the jitted forward are serialized with an internal lock, so the
+    engine can sit behind a MicroBatcher or be used directly."""
+
+    def __init__(
+        self,
+        apply_fn: Callable[[Any, Dict[str, Any]], Any],
+        variables: Any,
+        max_batch_size: int = 32,
+        buckets: Optional[Sequence[int]] = None,
+        postprocess: Optional[Callable[[Dict[str, Any]], Any]] = None,
+        jit: bool = True,
+    ):
+        self.variables = variables
+        self.buckets = tuple(sorted(buckets or
+                                    _default_buckets(max_batch_size)))
+        self.max_batch_size = self.buckets[-1]
+        self.postprocess = postprocess
+        self._lock = threading.Lock()
+        self._apply_fn = apply_fn
+        if jit:
+            import jax
+
+            # Non-array batch fields (dataset_name/type strings) can't be
+            # jit arguments; they travel as a hashable static arg and are
+            # merged back inside the trace.
+            def traced(vars_, arrays, statics_items):
+                from mmf_tpu.utils.export import _merge
+
+                statics = _unflatten_statics(statics_items)
+                return apply_fn(vars_, _merge(arrays, statics))
+
+            self._fn = jax.jit(traced, static_argnums=(2,))
+        else:
+            def direct(vars_, arrays, statics_items):
+                from mmf_tpu.utils.export import _merge
+
+                return apply_fn(
+                    vars_, _merge(arrays, _unflatten_statics(statics_items))
+                )
+
+            self._fn = direct
+
+    # -- construction from framework artifacts ----------------------------
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, **kwargs):
+        """Build from an MMF checkpoint (model rebuilt from the snapshot
+        config, weights loaded; processors exposed on the engine)."""
+        from mmf_tpu.utils.inference import Inference
+
+        pipeline = Inference(checkpoint_path=checkpoint_path)
+        model = pipeline.model
+        variables = pipeline.variables
+        if variables is None:
+            raise ValueError(
+                f"checkpoint {checkpoint_path!r} holds no variables"
+            )
+
+        def apply_fn(vars_, batch):
+            return model.apply(vars_, batch, False)
+
+        engine = cls(apply_fn, variables, **kwargs)
+        engine.processors = pipeline.processor
+        return engine
+
+    # -- inference --------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"batch of {n} exceeds max_batch_size={self.max_batch_size}"
+        )
+
+    def predict_many(self, samples: List[Dict[str, Any]]) -> List[Any]:
+        """Run a list of request samples through one (or, above the max
+        bucket, several) device batches; returns per-sample outputs."""
+        if not samples:
+            return []
+        out: List[Any] = []
+        cap = self.max_batch_size
+        for lo in range(0, len(samples), cap):
+            out.extend(self._predict_chunk(samples[lo:lo + cap]))
+        return out
+
+    def _predict_chunk(self, samples: List[Dict[str, Any]]) -> List[Any]:
+        from mmf_tpu.utils.export import _split_static
+
+        n = len(samples)
+        bucket = self._bucket(n)
+        batch = _pad_batch(_stack_samples(samples), n, bucket)
+        arrays, statics = _split_static(batch)
+        with self._lock:
+            output = self._fn(self.variables, arrays,
+                              _flatten_statics(statics))
+        import jax
+
+        host = jax.tree_util.tree_map(np.asarray, output)
+        results = _trim_split(host, n, bucket)
+        if self.postprocess is not None:
+            results = [self.postprocess(r) for r in results]
+        return results
+
+    def predict(self, sample: Dict[str, Any]) -> Any:
+        return self.predict_many([sample])[0]
+
+    def warmup(self, example: Dict[str, Any], buckets=None):
+        """Pre-compile every bucket size so no live request pays a
+        compile. Returns the list of bucket sizes compiled."""
+        done = []
+        for b in buckets or self.buckets:
+            self.predict_many([example] * b)
+            done.append(b)
+        return done

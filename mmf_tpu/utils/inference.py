@@ -77,8 +77,18 @@ class Inference:
 
         self.model_items = load_pretrained_model(self.checkpoint)
         config = self.model_items["config"]
+        # models registered from a user plugin dir (env.user_dir in the
+        # checkpoint's config snapshot) must be importable before
+        # build_model resolves the registry key
+        user_dir = (config.get("env") or {}).get("user_dir")
+        if user_dir:
+            from mmf_tpu.utils.env import import_user_module
+
+            import_user_module(user_dir)
         dataset_name = list(config["dataset_config"].keys())[0]
-        processor = config["dataset_config"][dataset_name]["processors"]
+        # processors are optional (e.g. raw-array models/plugins); text
+        # requests then require pre-processed fields
+        processor = config["dataset_config"][dataset_name].get("processors")
         full = dict(config)
         model = build_model(full)
         variables = self.model_items["checkpoint"].get("variables", None)

@@ -26,6 +26,7 @@ setup(
             "mmf_predict = mmf_tpu.cli.predict:predict",
             "mmf_interactive = mmf_tpu.cli.interactive:interactive",
             "mmf_convert_hm = mmf_tpu.cli.hm_convert:main",
+            "mmf_serve = mmf_tpu.cli.serve:serve",
         ]
     },
 )
