@@ -88,7 +88,7 @@ class MMFBert(Pythia):
             text_total = TorchMultiheadAttention(
                 p.get("embed_dim", cfg.hidden_size),
                 p.get("num_heads", 8), p.get("dropout", 0.0),
-                name="text_embedding",
+                dtype=cfg.dtype, name="text_embedding",
             )(emb, emb, emb, key_padding_mask=(input_mask == 0),
               deterministic=deterministic)
         else:
@@ -128,14 +128,14 @@ class MMFBert(Pythia):
                 encoded = TorchMultiheadAttention(
                     ip.get("embed_dim", cfg.hidden_size),
                     ip.get("num_heads", 8), ip.get("dropout", 0.0),
-                    name="image_feature_intra_attention",
+                    dtype=cfg.dtype, name="image_feature_intra_attention",
                 )(encoded, encoded, encoded, deterministic=deterministic)
             for j, fp_raw in enumerate(fe_cfgs):
                 fp = dict(fp_raw)
                 out = TorchMultiheadAttention(
                     fp.get("embed_dim", cfg.hidden_size),
                     fp.get("num_heads", 8), fp.get("dropout", 0.0),
-                    name=f"image_feature_embeddings_{idx}_{j}",
+                    dtype=cfg.dtype, name=f"image_feature_embeddings_{idx}_{j}",
                 )(text_total, encoded, encoded,
                   deterministic=deterministic)
                 embeddings.append(out)

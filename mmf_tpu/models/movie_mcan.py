@@ -35,6 +35,9 @@ class MoVieMcan(BaseModel):
         c = self.config
         te = c["text_embeddings"]["params"]
         fe = c["image_feature_embeddings"]["params"]
+        dtype = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}.get(
+            str(c.get("dtype", "float32")), jnp.float32
+        )
 
         vocab_size = registry.get(
             self._dataset() + "_text_vocab_size", no_warning=True
@@ -58,6 +61,7 @@ class MoVieMcan(BaseModel):
             dropout=te.get("dropout", 0.1),
             num_attn_pool=te.get("num_attn_pool", 1),
             num_feat=te.get("num_feat", 2),
+            dtype=dtype,
             name="text_embeddings",
         )(texts, text_mask, deterministic)
 
@@ -102,6 +106,7 @@ class MoVieMcan(BaseModel):
             num_layers=fe.get("num_layers", 6),
             dropout=fe.get("dropout", 0.1),
             cbn_num_layers=fe.get("cbn_num_layers", 4),
+            dtype=dtype,
             name="image_feature_embeddings_list",
         )(feature, text_total, text_vec[:, 0], None, text_mask,
           deterministic)
@@ -109,7 +114,8 @@ class MoVieMcan(BaseModel):
         joint = BranchCombineLayer(
             x_sga.shape[-1], text_vec.shape[-1],
             name="combine_layer",
-        )(x_sga, x_cbn, text_vec[:, 1], train)
+        )(x_sga.astype(jnp.float32), x_cbn.astype(jnp.float32),
+          text_vec[:, 1].astype(jnp.float32), train)
 
         scores = TripleLinear(num_choices, name="classifier")(joint, train)
         return {"scores": scores}

@@ -50,12 +50,14 @@ class _MHA(nn.Module):
     hidden: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, bias=None, deterministic=True):
-        q = nn.Dense(self.hidden, name="q")(q_in)
-        k = nn.Dense(self.hidden, name="k")(k_in)
-        v = nn.Dense(self.hidden, name="v")(v_in)
+        dn = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        q = nn.Dense(self.hidden, name="q", **dn)(q_in)
+        k = nn.Dense(self.hidden, name="k", **dn)(k_in)
+        v = nn.Dense(self.hidden, name="v", **dn)(v_in)
         rate = 0.0 if deterministic else self.dropout
         ctx = _merge(
             dot_product_attention(
@@ -67,7 +69,8 @@ class _MHA(nn.Module):
                 dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
             )
         )
-        return nn.Dense(self.hidden, name="out")(ctx)
+        return nn.Dense(self.hidden, name="out", dtype=self.dtype,
+                        param_dtype=jnp.float32)(ctx)
 
 
 def _with_pos(x, pos):
@@ -83,19 +86,21 @@ class DETREncoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     pre_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos=None, bias=None, deterministic=True):
+        dn = dict(dtype=self.dtype, param_dtype=jnp.float32)
         attn = _MHA(self.hidden, self.num_heads, self.dropout,
-                    name="self_attn")
+                    dtype=self.dtype, name="self_attn")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic)  # noqa: E731
-        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **dn)
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **dn)
 
         def ffn(x):
-            x = nn.relu(nn.Dense(self.ffn_dim, name="linear1")(x))
+            x = nn.relu(nn.Dense(self.ffn_dim, name="linear1", **dn)(x))
             x = nn.Dropout(self.dropout)(x, deterministic)
-            return nn.Dense(self.hidden, name="linear2")(x)
+            return nn.Dense(self.hidden, name="linear2", **dn)(x)
 
         if self.pre_norm:
             src2 = norm1(src)
@@ -118,23 +123,25 @@ class DETRDecoderLayer(nn.Module):
     ffn_dim: int
     dropout: float = 0.1
     pre_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None,
                  memory_bias=None, deterministic=True):
+        dn = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self_attn = _MHA(self.hidden, self.num_heads, self.dropout,
-                         name="self_attn")
+                         dtype=self.dtype, name="self_attn")
         cross_attn = _MHA(self.hidden, self.num_heads, self.dropout,
-                          name="multihead_attn")
+                          dtype=self.dtype, name="multihead_attn")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic)  # noqa: E731
-        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
-        norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **dn)
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **dn)
+        norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3", **dn)
 
         def ffn(x):
-            x = nn.relu(nn.Dense(self.ffn_dim, name="linear1")(x))
+            x = nn.relu(nn.Dense(self.ffn_dim, name="linear1", **dn)(x))
             x = nn.Dropout(self.dropout)(x, deterministic)
-            return nn.Dense(self.hidden, name="linear2")(x)
+            return nn.Dense(self.hidden, name="linear2", **dn)(x)
 
         if self.pre_norm:
             tgt2 = norm1(tgt)
@@ -166,16 +173,19 @@ class DETREncoder(nn.Module):
     num_layers: int
     dropout: float = 0.1
     pre_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos=None, bias=None, deterministic=True):
+        src = src.astype(self.dtype)
         for i in range(self.num_layers):
             src = DETREncoderLayer(
                 self.hidden, self.num_heads, self.ffn_dim, self.dropout,
-                self.pre_norm, name=f"layers_{i}",
+                self.pre_norm, dtype=self.dtype, name=f"layers_{i}",
             )(src, pos, bias, deterministic)
         if self.pre_norm:
-            src = nn.LayerNorm(epsilon=1e-5, name="norm")(src)
+            src = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype,
+                               param_dtype=jnp.float32)(src)
         return src
 
 
@@ -190,16 +200,20 @@ class DETRDecoder(nn.Module):
     num_layers: int
     dropout: float = 0.1
     pre_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos=None, pos=None,
                  memory_bias=None, deterministic=True):
-        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        tgt = tgt.astype(self.dtype)
+        memory = memory.astype(self.dtype)
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=self.dtype,
+                            param_dtype=jnp.float32)
         intermediate: List[jnp.ndarray] = []
         for i in range(self.num_layers):
             tgt = DETRDecoderLayer(
                 self.hidden, self.num_heads, self.ffn_dim, self.dropout,
-                self.pre_norm, name=f"layers_{i}",
+                self.pre_norm, dtype=self.dtype, name=f"layers_{i}",
             )(tgt, memory, query_pos, pos, memory_bias, deterministic)
             intermediate.append(norm(tgt))
         return jnp.stack(intermediate)  # [L, B, Q, D]
@@ -230,13 +244,15 @@ class UniTTransformerCore(nn.Module):
     # {task_type: [dataset_name, ...]} — which decoders exist
     decoder_index: Optional[Dict[str, Any]] = None
     MAX_TASK_NUM: int = 256
+    dtype: Any = jnp.float32
 
     def _decoder(self, task_type: str, dataset_name: str) -> DETRDecoder:
         name = ("decoder_shared" if self.share_decoders
                 else f"decoder_{task_type}_{dataset_name}")
         return DETRDecoder(
             self.d_model_dec, self.nheads, self.dim_feedforward,
-            self.num_decoder_layers, self.dropout, self.pre_norm, name=name,
+            self.num_decoder_layers, self.dropout, self.pre_norm,
+            dtype=self.dtype, name=name,
         )
 
     @nn.compact
@@ -292,7 +308,7 @@ class UniTTransformerCore(nn.Module):
             memory = DETREncoder(
                 self.d_model_enc, self.nheads, self.dim_feedforward,
                 self.num_encoder_layers, self.dropout, self.pre_norm,
-                name="encoder",
+                dtype=self.dtype, name="encoder",
             )(img_src, img_pos, bias, deterministic)
 
             if self.use_task_embedding_in_img_encoder:

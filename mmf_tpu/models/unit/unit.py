@@ -385,6 +385,7 @@ class UniT(BaseModel):
                 "use_task_embedding_in_img_encoder", False
             ),
             decoder_index=decoder_index,
+            dtype=self._tcfg(c, hidden).dtype,
             name="unit_base_model",
         )
         query_key = ("shared" if not c.get("separate_decoders", True)

@@ -170,6 +170,7 @@ class TorchMultiheadAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, key_padding_mask=None,
@@ -178,7 +179,8 @@ class TorchMultiheadAttention(nn.Module):
         d = self.embed_dim // self.num_heads
 
         def proj(x, name):
-            x = nn.Dense(self.embed_dim, name=name)(x)
+            x = nn.Dense(self.embed_dim, name=name, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
             return x.reshape(b, -1, self.num_heads, d).transpose(0, 2, 1, 3)
 
         qh = proj(query, "q_proj")
@@ -195,7 +197,8 @@ class TorchMultiheadAttention(nn.Module):
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, self.embed_dim)
-        return nn.Dense(self.embed_dim, name="out_proj")(ctx)
+        return nn.Dense(self.embed_dim, name="out_proj", dtype=self.dtype,
+                        param_dtype=jnp.float32)(ctx)
 
 
 class MovieMcanMultiHeadAttention(nn.Module):
@@ -204,6 +207,7 @@ class MovieMcanMultiHeadAttention(nn.Module):
     dim: int
     num_attn: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q, k, v, mask=None, deterministic=True):
@@ -211,7 +215,8 @@ class MovieMcanMultiHeadAttention(nn.Module):
         d = self.dim // self.num_attn
 
         def proj(x, name):
-            x = nn.Dense(self.dim, name=name)(x)
+            x = nn.Dense(self.dim, name=name, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
             return x.reshape(b, -1, self.num_attn, d).transpose(0, 2, 1, 3)
 
         qh, kh, vh = proj(q, "q_lin"), proj(k, "k_lin"), proj(v, "v_lin")
@@ -228,19 +233,23 @@ class MovieMcanMultiHeadAttention(nn.Module):
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
-        return nn.Dense(self.dim, name="out_lin")(ctx)
+        return nn.Dense(self.dim, name="out_lin", dtype=self.dtype,
+                        param_dtype=jnp.float32)(ctx)
 
 
 class MCANFFN(nn.Module):
     dim: int
     ff_dim: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = nn.relu(nn.Dense(self.ff_dim, name="fc")(x))
+        h = nn.relu(nn.Dense(self.ff_dim, name="fc", dtype=self.dtype,
+                             param_dtype=jnp.float32)(x))
         h = nn.Dropout(self.dropout)(h, deterministic)
-        return nn.Dense(self.dim, name="out")(h)
+        return nn.Dense(self.dim, name="out", dtype=self.dtype,
+                        param_dtype=jnp.float32)(h)
 
 
 class SelfAttention(nn.Module):
@@ -249,19 +258,21 @@ class SelfAttention(nn.Module):
     dim: int
     num_attn: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, x_mask=None, deterministic=True):
+        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         att = MovieMcanMultiHeadAttention(
-            self.dim, self.num_attn, self.dropout, name="mhatt"
+            self.dim, self.num_attn, self.dropout, dtype=self.dtype,
+            name="mhatt",
         )(x, x, x, x_mask, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(
+        x = nn.LayerNorm(name="ln1", **ln)(
             x + nn.Dropout(self.dropout)(att, deterministic)
         )
-        ff = MCANFFN(self.dim, self.dim * 4, self.dropout, name="ffn")(
-            x, deterministic
-        )
-        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(
+        ff = MCANFFN(self.dim, self.dim * 4, self.dropout,
+                     dtype=self.dtype, name="ffn")(x, deterministic)
+        x = nn.LayerNorm(name="ln2", **ln)(
             x + nn.Dropout(self.dropout)(ff, deterministic)
         )
         return x
@@ -273,25 +284,28 @@ class SelfGuidedAttention(nn.Module):
     dim: int
     num_attn: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, x_mask=None, y_mask=None, deterministic=True):
+        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         att1 = MovieMcanMultiHeadAttention(
-            self.dim, self.num_attn, self.dropout, name="mhatt1"
+            self.dim, self.num_attn, self.dropout, dtype=self.dtype,
+            name="mhatt1",
         )(x, x, x, x_mask, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(
+        x = nn.LayerNorm(name="ln1", **ln)(
             x + nn.Dropout(self.dropout)(att1, deterministic)
         )
         att2 = MovieMcanMultiHeadAttention(
-            self.dim, self.num_attn, self.dropout, name="mhatt2"
+            self.dim, self.num_attn, self.dropout, dtype=self.dtype,
+            name="mhatt2",
         )(x, y, y, y_mask, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(
+        x = nn.LayerNorm(name="ln2", **ln)(
             x + nn.Dropout(self.dropout)(att2, deterministic)
         )
-        ff = MCANFFN(self.dim, self.dim * 4, self.dropout, name="ffn")(
-            x, deterministic
-        )
-        x = nn.LayerNorm(epsilon=1e-5, name="ln3")(
+        ff = MCANFFN(self.dim, self.dim * 4, self.dropout,
+                     dtype=self.dtype, name="ffn")(x, deterministic)
+        x = nn.LayerNorm(name="ln3", **ln)(
             x + nn.Dropout(self.dropout)(ff, deterministic)
         )
         return x

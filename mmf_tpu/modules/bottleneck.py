@@ -8,7 +8,7 @@ dependent trip counts)."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -40,19 +40,18 @@ class SEModule(nn.Module):
 
     dim: int
     sqrate: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        cv = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         se = x.mean(axis=(1, 2), keepdims=True)
-        se = nn.Conv(self.dim // self.sqrate, (1, 1), use_bias=False,
-                     name="se_fc1")(se)
+        se = nn.Conv(self.dim // self.sqrate, (1, 1), name="se_fc1", **cv)(se)
         se = nn.relu(se)
-        se = nn.Conv(self.dim, (1, 1), use_bias=False, name="se_fc2")(se)
+        se = nn.Conv(self.dim, (1, 1), name="se_fc2", **cv)(se)
         x = x * nn.sigmoid(se)
         attn = x.mean(axis=-1, keepdims=True)  # channel pool
-        attn = nn.Conv(1, (7, 7), padding=3, use_bias=False, name="attn_conv")(
-            attn
-        )
+        attn = nn.Conv(1, (7, 7), padding=3, name="attn_conv", **cv)(attn)
         return x * nn.sigmoid(attn)
 
 
@@ -65,13 +64,16 @@ class Modulation(nn.Module):
     num_features: int
     out_features: int = 256
     compressed: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
-        c = nn.Dense(self.num_features, name="linear")(cond)
+        c = nn.Dense(self.num_features, name="linear", dtype=self.dtype,
+                     param_dtype=jnp.float32)(cond)
         c = c[:, None, None, :]
         out_ch = self.out_features if self.compressed else self.num_features
-        return nn.Conv(out_ch, (1, 1), name="conv")(x * c)
+        return nn.Conv(out_ch, (1, 1), name="conv", dtype=self.dtype,
+                       param_dtype=jnp.float32)(x * c)
 
 
 class MovieBottleneck(nn.Module):
@@ -86,46 +88,50 @@ class MovieBottleneck(nn.Module):
     compressed: bool = True
     use_se: bool = True
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond=None, deterministic=True
                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        x = jnp.transpose(x, (0, 2, 3, 1))  # -> NHWC
+        cv = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # -> NHWC
         identity = x
         width = self.planes
 
         if self.cond_planes and self.compressed:
-            x = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x) + \
-                Modulation(self.inplanes, width, True, name="cond")(x, cond)
+            x = nn.Conv(width, (1, 1), name="conv1", **cv)(x) + \
+                Modulation(self.inplanes, width, True, dtype=self.dtype,
+                           name="cond")(x, cond)
         elif self.cond_planes and not self.compressed:
             x = x + Modulation(
-                self.inplanes, self.inplanes, False, name="cond"
+                self.inplanes, self.inplanes, False, dtype=self.dtype,
+                name="cond",
             )(x, cond)
-            x = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+            x = nn.Conv(width, (1, 1), name="conv1", **cv)(x)
         else:
-            x = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
+            x = nn.Conv(width, (1, 1), name="conv1", **cv)(x)
 
         out = nn.relu(FrozenBatchNorm2d(x.shape[-1], name="bn1")(x))
         out = nn.Conv(
-            width, (3, 3), strides=self.stride, padding=1, use_bias=False,
-            name="conv2",
+            width, (3, 3), strides=self.stride, padding=1, name="conv2", **cv
         )(out)
         out = nn.relu(FrozenBatchNorm2d(width, name="bn2")(out))
         out = nn.Conv(
-            self.planes * self.expansion, (1, 1), use_bias=False, name="conv3"
+            self.planes * self.expansion, (1, 1), name="conv3", **cv
         )(out)
         out = FrozenBatchNorm2d(self.planes * self.expansion, name="bn3")(out)
 
         if self.downsample:
             shortcut = nn.Conv(
                 self.planes * self.expansion, (1, 1), strides=self.stride,
-                use_bias=False, name="downsample",
+                name="downsample", **cv,
             )(identity)
         else:
             shortcut = identity
 
         if self.use_se and self.cond_planes:
-            out = SEModule(self.planes * self.expansion, 4, name="se")(out)
+            out = SEModule(self.planes * self.expansion, 4, dtype=self.dtype,
+                           name="se")(out)
 
         out = nn.relu(out + shortcut)
         return jnp.transpose(out, (0, 3, 1, 2)), cond

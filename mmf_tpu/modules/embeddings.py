@@ -327,22 +327,25 @@ class SAEmbedding(nn.Module):
     dropout: float = 0.1
     num_attn_pool: int = 1
     num_feat: int = -1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
         b = x.shape[0]
+        # LSTM stays f32 (sequential carry is precision-sensitive and
+        # cheap); the attention stack below runs in compute dtype
         rnn = nn.RNN(nn.OptimizedLSTMCell(self.hidden_dim), name="lstm")
-        out = rnn(x)
+        out = rnn(x).astype(self.dtype)
         for i in range(self.num_layers):
             out = SelfAttention(
                 self.hidden_dim, self.num_attn, self.dropout,
-                name=f"self_attn_{i}",
+                dtype=self.dtype, name=f"self_attn_{i}",
             )(out, mask, deterministic)
         vec = out[:, -1:].reshape(b, 1, -1)
         if self.num_attn_pool > 0:
             vec = AttnPool1d(
                 self.hidden_dim, self.num_feat * self.num_attn_pool,
-                name="attn_pool",
+                dtype=self.dtype, name="attn_pool",
             )(out, out, mask, deterministic)
             vec = vec.reshape(b, self.num_feat, -1)
         return out, vec
@@ -356,16 +359,20 @@ class SGAEmbedding(nn.Module):
     num_layers: int = 6
     dropout: float = 0.1
     hidden_dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, x_mask=None, y_mask=None, deterministic=True):
         if x.ndim == 4:
             b, c, hh, ww = x.shape
             x = x.reshape(b, c, -1).transpose(0, 2, 1)
-        x = nn.Dense(self.hidden_dim, name="linear")(x)
+        x = nn.Dense(self.hidden_dim, name="linear", dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        y = y.astype(self.dtype)
         for i in range(self.num_layers):
             x = SelfGuidedAttention(
-                self.hidden_dim, self.num_attn, self.dropout, name=f"sga_{i}"
+                self.hidden_dim, self.num_attn, self.dropout,
+                dtype=self.dtype, name=f"sga_{i}",
             )(x, y, x_mask, y_mask, deterministic)
         return x
 
@@ -378,6 +385,7 @@ class CBNEmbedding(nn.Module):
     cbn_num_layers: int = 4
     compressed: bool = True
     use_se: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, v, deterministic=True):
@@ -390,12 +398,13 @@ class CBNEmbedding(nn.Module):
                 emb_dim, out_dim // 4, self.cond_dim,
                 downsample=(emb_dim != out_dim),
                 compressed=self.compressed, use_se=self.use_se,
-                name=f"cbn_{i}",
+                dtype=self.dtype, name=f"cbn_{i}",
             )(x, v, deterministic)
             emb_dim = out_dim
         # adaptive avg pool to 1x1 == mean over spatial
         x = x.mean(axis=(2, 3))
-        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm",
+                            dtype=self.dtype, param_dtype=jnp.float32)(x)
 
 
 class TwoBranchEmbedding(nn.Module):
@@ -408,17 +417,20 @@ class TwoBranchEmbedding(nn.Module):
     num_layers: int = 6
     dropout: float = 0.1
     cbn_num_layers: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y, v, x_mask=None, y_mask=None, deterministic=True):
         x_sga = SGAEmbedding(
             self.embedding_dim, self.num_attn, self.num_layers, self.dropout,
-            self.hidden_dim, name="sga",
+            self.hidden_dim, dtype=self.dtype, name="sga",
         )(x, y, x_mask, y_mask, deterministic)
-        x_sga = AttnPool1d(self.hidden_dim, 1, name="sga_pool")(
+        x_sga = AttnPool1d(self.hidden_dim, 1, dtype=self.dtype,
+                           name="sga_pool")(
             x_sga, x_sga, x_mask, deterministic
         )[:, 0]
         x_cbn = CBNEmbedding(
-            self.embedding_dim, self.cond_dim, self.cbn_num_layers, name="cbn"
+            self.embedding_dim, self.cond_dim, self.cbn_num_layers,
+            dtype=self.dtype, name="cbn",
         )(x, v, deterministic)
         return x_sga, x_cbn

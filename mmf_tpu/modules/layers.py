@@ -579,14 +579,17 @@ class AttnPool1d(nn.Module):
     num_features: int
     num_attn: int = 1
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, value, mask=None, deterministic=True):
         b = query.shape[0]
-        score = nn.Dense(self.num_features // 2, name="lin1")(query)
+        score = nn.Dense(self.num_features // 2, name="lin1",
+                         dtype=self.dtype, param_dtype=jnp.float32)(query)
         score = nn.relu(score)
         score = nn.Dropout(self.dropout)(score, deterministic)
-        score = nn.Dense(self.num_attn, name="lin2")(score)
+        score = nn.Dense(self.num_attn, name="lin2", dtype=self.dtype,
+                         param_dtype=jnp.float32)(score)
         score = jnp.swapaxes(score, -2, -1)
         if mask is not None:
             score = jnp.where(mask[:, None, :], -10000.0, score)

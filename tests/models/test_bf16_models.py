@@ -165,3 +165,69 @@ def test_m4c_bf16():
         "dataset_type": "train",
     }
     _run_pair("m4c", mk, batch)
+
+
+def test_mmf_bert_bf16():
+    from tests.models.test_model_zoo2 import MMF_BERT_KEYS
+
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 7)
+
+    def mk(dtype):
+        return omega.create(dict(
+            SMALL, **MMF_BERT_KEYS,
+            training_head_type="classification", dtype=dtype,
+        ))
+
+    batch = _vl_batch()
+    batch.pop("image_info_0", None)
+    _run_pair("mmf_bert", mk, batch)
+
+
+def test_movie_mcan_bf16():
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+    registry.register("vqa2_num_final_outputs", 9)
+
+    def mk(dtype):
+        return omega.create({
+            "text_embeddings": {"params": {
+                "hidden_dim": 16, "embedding_dim": 300, "num_attn": 2,
+                "num_layers": 1, "dropout": 0.0, "num_attn_pool": 1,
+                "num_feat": 2}},
+            "image_feature_embeddings": {"params": {
+                "hidden_dim": 16, "cond_dim": 32, "num_attn": 2,
+                "num_layers": 1, "dropout": 0.0, "cbn_num_layers": 1}},
+            "text_vocab_size": 60,
+            "dtype": dtype,
+        })
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": jnp.asarray(rng.randint(0, 60, (B, 7))),
+        "text_mask": jnp.ones((B, 7), jnp.float32),
+        "image_feature_0": jnp.asarray(
+            rng.randn(B, 16, 24).astype(np.float32)),
+        "dataset_name": "vqa2", "dataset_type": "train",
+    }
+    _run_pair("movie_mcan", mk, batch)
+
+
+def test_unit_bf16():
+    registry.register("config", omega.create({"datasets": "vqa2",
+                                              "training": {}}))
+
+    def mk(dtype):
+        return omega.create({
+            "hidden_size": 32, "num_encoder_layers": 1,
+            "num_decoder_layers": 1, "num_attention_heads": 4,
+            "num_queries": 6, "num_classes": 10, "backbone_depth": 18,
+            "vocab_size": 50, "dtype": dtype,
+            "task_map": {"vqa2": "vl"},
+            "heads": {"vqa2": {"num_labels": 5}},
+        })
+
+    batch = _vl_batch()
+    batch.pop("image_info_0", None)
+    _run_pair("unit", mk, batch)
