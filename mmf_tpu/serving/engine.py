@@ -125,10 +125,25 @@ class ServingEngine:
         buckets: Optional[Sequence[int]] = None,
         postprocess: Optional[Callable[[Dict[str, Any]], Any]] = None,
         jit: bool = True,
+        mesh=None,
     ):
+        """``mesh``: a ``jax.sharding.Mesh`` for multi-chip serving —
+        variables are placed under the tensor-parallel rules
+        (parallel/mesh.py; replicated when the model axis is 1), batches
+        shard along the ``data`` axis, and XLA inserts the collectives.
+        Bucket sizes are then constrained to multiples of the data-axis
+        size so every chip gets equal full shards."""
+        self.mesh = mesh
+        if mesh is not None:
+            from mmf_tpu.parallel.mesh import place_params
+
+            variables = place_params(variables, mesh)
         self.variables = variables
-        self.buckets = tuple(sorted(buckets or
-                                    _default_buckets(max_batch_size)))
+        buckets = tuple(sorted(buckets or _default_buckets(max_batch_size)))
+        if mesh is not None:
+            dp = mesh.shape.get("data", 1)
+            buckets = tuple(sorted({max(dp, b - b % dp) for b in buckets}))
+        self.buckets = buckets
         self.max_batch_size = self.buckets[-1]
         self.postprocess = postprocess
         self._lock = threading.Lock()
@@ -207,6 +222,10 @@ class ServingEngine:
         bucket = self._bucket(n)
         batch = _pad_batch(_stack_samples(samples), n, bucket)
         arrays, statics = _split_static(batch)
+        if self.mesh is not None:
+            from mmf_tpu.parallel.mesh import shard_batch
+
+            arrays = shard_batch(arrays, self.mesh)
         with self._lock:
             output = self._fn(self.variables, arrays,
                               _flatten_statics(statics))

@@ -251,3 +251,43 @@ def test_cli_parse_opts():
         parse_opts(["port=9000"])  # checkpoint required
     with pytest.raises(SystemExit):
         parse_opts(["checkpoint=x", "bogus=1"])
+
+
+# -- multi-chip serving (8 virtual CPU devices via conftest) --------------
+
+
+def test_engine_mesh_sharded_serving_matches_single_device():
+    """Serving over a dp=2 x tp=4 mesh: variables placed under the TP
+    rules, batches sharded on the data axis, outputs identical to the
+    unsharded engine. Buckets snap to multiples of the data-axis size."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mmf_tpu.parallel import mesh as pmesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(devices).reshape(2, 4), ("data", "model"))
+    pmesh.set_mesh(mesh)
+
+    w = np.asarray(np.random.RandomState(0).randn(16, 8), np.float32)
+
+    def apply_fn(variables, batch):
+        import jax.numpy as jnp
+
+        return {"scores": jnp.dot(batch["data"], variables["w"])}
+
+    plain = ServingEngine(apply_fn, {"w": w}, max_batch_size=8)
+    sharded = ServingEngine(apply_fn, {"w": w}, max_batch_size=8, mesh=mesh)
+    assert sharded.buckets == (2, 4, 8)
+
+    samples = [
+        {"data": np.random.RandomState(i).randn(16).astype(np.float32)}
+        for i in range(5)
+    ]
+    out_plain = plain.predict_many(samples)
+    out_sharded = sharded.predict_many(samples)
+    for a, b in zip(out_plain, out_sharded):
+        np.testing.assert_allclose(a["scores"], b["scores"],
+                                   rtol=1e-5, atol=1e-6)
