@@ -30,7 +30,12 @@ def main(configuration, init_distributed: bool = False, predict: bool = False):
         is_main,
         suppress_output,
     )
-    from mmf_tpu.utils.env import set_seed, setup_imports, setup_run_folder
+    from mmf_tpu.utils.env import (
+        set_seed,
+        setup_compilation_cache,
+        setup_imports,
+        setup_run_folder,
+    )
     from mmf_tpu.utils.logger import setup_logger
 
     setup_imports()
@@ -50,6 +55,7 @@ def main(configuration, init_distributed: bool = False, predict: bool = False):
     registry.register("seed", config["training"]["seed"])
     registry.register("config", config)
 
+    setup_compilation_cache(config)
     save_dir, log_dir, _ = setup_run_folder(config)
     setup_logger(output=log_dir, color=config["training"]["colored_logs"],
                  disable=config["training"]["should_not_log"])

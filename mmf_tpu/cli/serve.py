@@ -14,6 +14,9 @@ Flags (key=value):
   max_batch_size  largest device batch  [32]
   max_wait_ms     batching window       [5]
   quant           serving precision: none|int8 (sets MMF_TPU_QUANT)
+  compilation_cache_dir  persistent XLA cache: warm restarts reload
+                         compiled bucket executables instead of
+                         recompiling (minutes -> seconds)
 
 Bucket executables compile lazily (first request at each bucket size);
 use ServingEngine.warmup(example) from the library API to precompile.
@@ -35,6 +38,7 @@ _DEFAULTS = {
     "max_batch_size": "32",
     "max_wait_ms": "5",
     "quant": "none",
+    "compilation_cache_dir": "",
 }
 
 
@@ -62,9 +66,11 @@ def build_server(cfg: dict):
 
     from mmf_tpu.serving.engine import ServingEngine
     from mmf_tpu.serving.server import ServingServer
-    from mmf_tpu.utils.env import setup_imports
+    from mmf_tpu.utils.env import setup_compilation_cache, setup_imports
 
     setup_imports()
+    if cfg.get("compilation_cache_dir"):
+        setup_compilation_cache(cache_dir=cfg["compilation_cache_dir"])
     engine = ServingEngine.from_checkpoint(
         cfg["checkpoint"], max_batch_size=int(cfg["max_batch_size"])
     )

@@ -119,6 +119,28 @@ def teardown_imports():
     registry.unregister("__mmf_user_dir_imported__")
 
 
+def setup_compilation_cache(config=None, cache_dir=None):
+    """Enable the persistent XLA compilation cache (env.compilation_cache_dir
+    or an explicit path). First run compiles and writes executables to
+    disk; subsequent runs — including serving cold starts, where a
+    32-bucket warmup otherwise recompiles everything — reload them.
+    No-op when unset. Returns the directory in effect (or None)."""
+    if cache_dir is None and config is not None:
+        cache_dir = (config.get("env") or {}).get("compilation_cache_dir")
+    if not cache_dir:
+        return None
+    import jax
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything: BERT-scale executables are small and the default
+    # 1s threshold would skip most eval/serving buckets
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    logger.info("XLA compilation cache at %s", cache_dir)
+    return cache_dir
+
+
 def setup_run_folder(config):
     """Derive log/report dirs under save_dir."""
     save_dir = config.env.save_dir
