@@ -21,7 +21,7 @@ import collections
 import threading
 import time
 from concurrent.futures import Future
-from typing import Any, Callable, List, Sequence
+from typing import Any, Callable, List, Optional, Sequence
 
 
 class MicroBatcher:
@@ -38,10 +38,19 @@ class MicroBatcher:
         max_batch_size: int = 32,
         max_wait_ms: float = 5.0,
         name: str = "mmf-serve-batcher",
+        predict_many_async: Optional[Callable] = None,
+        pipeline_depth: int = 2,
     ):
+        """``predict_many_async``: dispatch-only variant returning a
+        ``finalize()`` (ServingEngine.predict_many_async). When given,
+        the batcher pipelines: the worker dispatches batch N+1 while a
+        finalizer thread waits on batch N's results — host stacking and
+        input transfer overlap device compute. ``pipeline_depth`` bounds
+        how many dispatched-but-unfinished batches may be in flight."""
         if max_batch_size < 1:
             raise ValueError("max_batch_size must be >= 1")
         self._predict_many = predict_many
+        self._predict_many_async = predict_many_async
         self.max_batch_size = max_batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self._queue = collections.deque()
@@ -52,6 +61,17 @@ class MicroBatcher:
         self._n_batches = 0
         self._batch_hist = collections.Counter()
         self._latencies = collections.deque(maxlen=2048)
+        self._inflight = None
+        self._finalizer = None
+        if predict_many_async is not None:
+            import queue as queue_mod
+
+            self._inflight = queue_mod.Queue(maxsize=max(1, pipeline_depth))
+            self._finalizer = threading.Thread(
+                target=self._finalize_loop, name=name + "-finalize",
+                daemon=True,
+            )
+            self._finalizer.start()
         self._worker = threading.Thread(
             target=self._loop, name=name, daemon=True
         )
@@ -95,14 +115,41 @@ class MicroBatcher:
                 self._cv.wait(timeout=remaining)
             return batch
 
+    def _complete(self, futures, t_in, results):
+        now = time.perf_counter()
+        with self._cv:
+            self._n_batches += 1
+            self._batch_hist[len(futures)] += 1
+            for t0 in t_in:
+                self._latencies.append(now - t0)
+        for fut, res in zip(futures, results):
+            if not fut.cancelled():
+                fut.set_result(res)
+
+    @staticmethod
+    def _fail(futures, e):
+        for fut in futures:
+            if not fut.cancelled():
+                fut.set_exception(e)
+
     def _loop(self):
         while True:
             batch = self._take_batch()
             if not batch:
+                if self._inflight is not None:
+                    self._inflight.put(None)  # unblock + stop finalizer
                 return  # closed and drained
             items = [b[0] for b in batch]
             futures = [b[1] for b in batch]
             t_in = [b[2] for b in batch]
+            if self._inflight is not None:
+                try:
+                    finalize = self._predict_many_async(items)
+                except BaseException as e:  # noqa: BLE001
+                    self._fail(futures, e)
+                    continue
+                self._inflight.put((finalize, futures, t_in))
+                continue
             try:
                 results = self._predict_many(items)
                 if len(results) != len(items):
@@ -111,19 +158,27 @@ class MicroBatcher:
                         f"for {len(items)} requests"
                     )
             except BaseException as e:  # noqa: BLE001 — fail the batch
-                for fut in futures:
-                    if not fut.cancelled():
-                        fut.set_exception(e)
+                self._fail(futures, e)
                 continue
-            now = time.perf_counter()
-            with self._cv:
-                self._n_batches += 1
-                self._batch_hist[len(items)] += 1
-                for t0 in t_in:
-                    self._latencies.append(now - t0)
-            for fut, res in zip(futures, results):
-                if not fut.cancelled():
-                    fut.set_result(res)
+            self._complete(futures, t_in, results)
+
+    def _finalize_loop(self):
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            finalize, futures, t_in = entry
+            try:
+                results = finalize()
+                if len(results) != len(futures):
+                    raise RuntimeError(
+                        f"finalize returned {len(results)} results "
+                        f"for {len(futures)} requests"
+                    )
+            except BaseException as e:  # noqa: BLE001
+                self._fail(futures, e)
+                continue
+            self._complete(futures, t_in, results)
 
     # -- introspection / lifecycle ---------------------------------------
 
@@ -161,6 +216,8 @@ class MicroBatcher:
                     fut.set_exception(RuntimeError("MicroBatcher closed"))
             self._cv.notify_all()
         self._worker.join(timeout=30)
+        if self._finalizer is not None:
+            self._finalizer.join(timeout=30)
 
     def __enter__(self):
         return self

@@ -120,6 +120,9 @@ class ServingServer:
             engine.predict_many,
             max_batch_size=engine.max_batch_size,
             max_wait_ms=max_wait_ms,
+            # pipelined: dispatch batch N+1 while batch N's results are
+            # fetched — stacking/transfer overlap device compute
+            predict_many_async=getattr(engine, "predict_many_async", None),
         )
         server = self
 

@@ -291,3 +291,103 @@ def test_engine_mesh_sharded_serving_matches_single_device():
     for a, b in zip(out_plain, out_sharded):
         np.testing.assert_allclose(a["scores"], b["scores"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_engine_from_export_serves_aot_artifact(tmp_path):
+    """Export a model forward to StableHLO bytes, reload WITHOUT the
+    model code path, and serve it — the AOT deployment flow."""
+    import jax
+
+    import tests.trainer_fixtures  # noqa: F401
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.utils.export import export_model_forward
+
+    model_cls = registry.get_model_class("simple_model")
+    model = model_cls(config={"in_dim": 3})
+    example = {
+        "data": np.ones((4, 3), np.float32),
+        "dataset_name": "numbers",
+        "dataset_type": "test",
+    }
+    variables = model.init(jax.random.PRNGKey(0), example, False)
+    blob = export_model_forward(model, variables, example)
+    path = tmp_path / "simple_model.stablehlo"
+    path.write_bytes(blob)
+
+    eng = ServingEngine.from_export(str(path), variables, buckets=[4])
+    samples = [
+        {"data": np.full((3,), float(i), np.float32),
+         "dataset_name": "numbers", "dataset_type": "test"}
+        for i in range(3)
+    ]
+    out = eng.predict_many(samples)
+    direct = model.apply(
+        variables,
+        {"data": np.stack([s["data"] for s in samples]
+                          + [samples[-1]["data"]]),
+         "dataset_name": "numbers", "dataset_type": "test"},
+        False,
+    )
+    for i, o in enumerate(out):
+        np.testing.assert_allclose(
+            o["scores"], np.asarray(direct["scores"])[i], rtol=1e-6
+        )
+
+
+def test_batcher_pipelined_mode_overlaps_and_is_correct():
+    """Pipelined batcher: dispatch of batch N+1 must begin before batch
+    N finalizes, and every request still gets its own correct result."""
+    import queue as queue_mod
+
+    dispatch_order = []
+    finalize_gate = threading.Event()
+
+    def predict_many_async(items):
+        dispatch_order.append(("dispatch", tuple(items)))
+
+        def finalize():
+            if len(dispatch_order) < 2:
+                # wait until a second dispatch proves overlap (released
+                # below, or by the next dispatch arriving)
+                finalize_gate.wait(timeout=5)
+            dispatch_order.append(("finalize", tuple(items)))
+            return [x * 10 for x in items]
+
+        return finalize
+
+    mb = MicroBatcher(
+        lambda xs: [x * 10 for x in xs], max_batch_size=2, max_wait_ms=1,
+        predict_many_async=predict_many_async, pipeline_depth=2,
+    )
+    try:
+        futs = [mb.submit(i) for i in range(6)]
+        # release the first finalize once >=2 dispatches have happened
+        for _ in range(100):
+            if len([e for e in dispatch_order if e[0] == "dispatch"]) >= 2:
+                break
+            time.sleep(0.02)
+        finalize_gate.set()
+        results = [f.result(timeout=10) for f in futs]
+        assert results == [i * 10 for i in range(6)]
+        kinds = [k for k, _ in dispatch_order]
+        first_final = kinds.index("finalize")
+        assert kinds[:first_final].count("dispatch") >= 2, dispatch_order
+        stats = mb.stats()
+        assert stats["requests"] == 6
+    finally:
+        mb.close()
+
+
+def test_batcher_pipelined_error_propagates():
+    def predict_many_async(items):
+        def finalize():
+            raise RuntimeError("finalize boom")
+        return finalize
+
+    mb = MicroBatcher(lambda xs: xs, max_batch_size=4, max_wait_ms=1,
+                      predict_many_async=predict_many_async)
+    try:
+        with pytest.raises(RuntimeError, match="finalize boom"):
+            mb.predict(1, timeout=10)
+    finally:
+        mb.close()

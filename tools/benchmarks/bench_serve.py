@@ -36,6 +36,11 @@ def build_engine(dtype: str, max_batch: int):
     from mmf_tpu.utils.env import setup_imports
 
     setup_imports()
+    from mmf_tpu.utils.env import setup_compilation_cache
+
+    setup_compilation_cache(
+        cache_dir=os.environ.get("MMF_COMPILATION_CACHE_DIR")
+    )
     cfg = load_yaml("configs/models/visual_bert/defaults.yaml")
     mc = cfg["model_config"]["visual_bert"]
     mc["training_head_type"] = "classification"
@@ -68,7 +73,7 @@ def build_engine(dtype: str, max_batch: int):
     variables = model.init(jax.random.PRNGKey(0), batch1, False)
     engine = ServingEngine(
         lambda v, b: model.apply(v, b, False), variables,
-        max_batch_size=max_batch,
+        max_batch_size=max_batch, output_fields=("scores",),
     )
     return engine, sample
 
@@ -80,6 +85,7 @@ def run_level(engine, sample, n_clients: int, requests: int,
     batcher = MicroBatcher(
         engine.predict_many, max_batch_size=engine.max_batch_size,
         max_wait_ms=max_wait_ms,
+        predict_many_async=engine.predict_many_async,
     )
     per_client = max(1, requests // n_clients)
     lat = []
