@@ -4,6 +4,9 @@ Endpoints:
   GET  /healthz     -> {"status": "ok"}
   GET  /v1/stats    -> batcher + engine statistics
   POST /v1/predict  -> run one request through the batched forward
+  POST /v1/profile  -> capture an XProf trace of live traffic
+                       ({"seconds": 3, "dir": optional}); 409 if one
+                       is already running
 
 Request JSON for /v1/predict:
   {"fields": {name: nested-list-or-scalar, ...},   # array inputs
@@ -149,6 +152,21 @@ class ServingServer:
                     self._send(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
+                if self.path == "/v1/profile":
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        req = json.loads(self.rfile.read(length) or b"{}")
+                        result = server.profile(
+                            seconds=float(req.get("seconds", 3.0)),
+                            trace_dir=req.get("dir"),
+                        )
+                        self._send(200, result)
+                    except RuntimeError as e:
+                        self._send(409, {"error": str(e)})
+                    except Exception as e:  # noqa: BLE001
+                        logger.exception("profile failed")
+                        self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 if self.path != "/v1/predict":
                     self._send(404, {"error": f"no route {self.path}"})
                     return
@@ -167,10 +185,34 @@ class ServingServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
         self._thread: Optional[threading.Thread] = None
+        self._profile_lock = threading.Lock()
 
     @property
     def port(self) -> int:
         return self.httpd.server_address[1]
+
+    def profile(self, seconds: float = 3.0,
+                trace_dir: Optional[str] = None) -> Dict[str, Any]:
+        """Capture a jax.profiler (XProf) trace of live traffic for
+        ``seconds``; POST /v1/profile {"seconds": 3}. One capture at a
+        time — concurrent requests get 409. The handler thread blocks,
+        but other connections keep serving (that's the traffic being
+        profiled)."""
+        import tempfile
+        import time as time_mod
+
+        import jax
+
+        if not self._profile_lock.acquire(blocking=False):
+            raise RuntimeError("a profile capture is already running")
+        try:
+            out = trace_dir or tempfile.mkdtemp(prefix="mmf_serve_trace_")
+            jax.profiler.start_trace(out)
+            time_mod.sleep(max(0.0, min(seconds, 60.0)))
+            jax.profiler.stop_trace()
+            return {"trace_dir": out, "seconds": seconds}
+        finally:
+            self._profile_lock.release()
 
     def stats(self) -> Dict[str, Any]:
         return {

@@ -391,3 +391,16 @@ def test_batcher_pipelined_error_propagates():
             mb.predict(1, timeout=10)
     finally:
         mb.close()
+
+
+def test_http_profile_endpoint(tmp_path):
+    eng = _make_engine()
+    with ServingServer(eng, port=0).start() as server:
+        resp = _post(server.port, "/v1/profile",
+                     {"seconds": 0.2, "dir": str(tmp_path / "trace")})
+        assert resp["trace_dir"] == str(tmp_path / "trace")
+        import os
+        found = []
+        for root, _, files in os.walk(resp["trace_dir"]):
+            found.extend(files)
+        assert found, "no trace files captured"
