@@ -146,3 +146,52 @@ def test_max_epochs_not_divided_by_update_frequency(tmp_path):
     t.train()
     # 32 examples / batch 8 = 4 updates per epoch, x2 epochs = 8
     assert t.num_updates == 8, t.num_updates
+
+
+def test_user_callback_from_config(tmp_path):
+    """A user callback registered via @registry.register_callback and
+    named in training.callbacks must be constructed with its params and
+    receive lifecycle hooks (reference tests/trainers/callbacks/
+    test_user_callback.py)."""
+    from mmf_tpu.common.registry import registry
+    from mmf_tpu.trainers.callbacks.base import Callback
+
+    if registry.get_callback_class("test_counter_callback") is None:
+
+        @registry.register_callback("test_counter_callback")
+        class CounterCallback(Callback):
+            last_instance = None
+
+            def __init__(self, config, trainer, boost=1):
+                super().__init__(config, trainer)
+                self.boost = boost
+                self.counts = {"train_start": 0, "update_end": 0}
+                CounterCallback.last_instance = self
+
+            def on_train_start(self, **kwargs):
+                self.counts["train_start"] += 1
+
+            def on_update_end(self, **kwargs):
+                self.counts["update_end"] += self.boost
+
+    from mmf_tpu.config import omega
+    from tests.trainer_fixtures import make_config
+    from mmf_tpu.trainers.mmf_trainer import build_trainer
+
+    config = make_config(save_dir=str(tmp_path), **{
+        "training.max_updates": 4,
+    })
+    with omega.open_dict(config):
+        config["training"]["callbacks"] = [
+            {"type": "test_counter_callback", "params": {"boost": 2}}
+        ]
+    trainer = build_trainer(config)
+    trainer.load()
+    trainer.train()
+
+    cb_cls = registry.get_callback_class("test_counter_callback")
+    cb = cb_cls.last_instance
+    assert cb is not None and cb.boost == 2
+    assert cb.counts["train_start"] == 1
+    # 4 updates x boost 2 — proves params flowed into the constructor
+    assert cb.counts["update_end"] == 8
