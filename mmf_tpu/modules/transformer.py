@@ -84,6 +84,14 @@ class TransformerConfig:
     # quantization, ops/quant.py). Serving-precision knob; params stay
     # f32 so checkpoints are unaffected. MMF_TPU_QUANT overrides.
     quant: str = "none"
+    # Mixture-of-experts (beyond reference parity): when moe_experts > 0
+    # every ``moe_every``-th layer swaps its dense FFN for a
+    # modules/moe.py MoEFeedForward with this many experts; expert
+    # weights shard over the mesh's model axis (expert parallelism).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @classmethod
     def from_dict(cls, d, **overrides):
@@ -228,6 +236,7 @@ class FeedForward(nn.Module):
 
 class TransformerLayer(nn.Module):
     config: TransformerConfig
+    moe: bool = False
 
     @nn.compact
     def __call__(self, hidden, bias=None, deterministic=True,
@@ -240,7 +249,25 @@ class TransformerLayer(nn.Module):
             hidden, own_kv = attn
         else:
             hidden = attn
-        hidden = FeedForward(self.config, name="ffn")(hidden, deterministic)
+        cfg = self.config
+        if self.moe and cfg.moe_experts > 0:
+            from mmf_tpu.modules.moe import MoEFeedForward
+
+            hidden = MoEFeedForward(
+                num_experts=cfg.moe_experts,
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor,
+                activation=ACT2FN[cfg.hidden_act],
+                layer_norm_eps=cfg.layer_norm_eps,
+                dropout_rate=cfg.hidden_dropout_prob,
+                dtype=cfg.dtype,
+                name="moe_ffn",
+            )(hidden, deterministic)
+        else:
+            hidden = FeedForward(self.config, name="ffn")(
+                hidden, deterministic)
         if return_kv:
             return hidden, own_kv
         return hidden
@@ -283,7 +310,12 @@ class TransformerEncoder(nn.Module):
         for i in range(n):
             if output_hidden_states:
                 all_hidden.append(hidden)
-            layer = layer_cls(self.config, name=f"layer_{i}")
+            moe = (
+                self.config.moe_experts > 0
+                and i % max(self.config.moe_every, 1)
+                == max(self.config.moe_every, 1) - 1
+            )
+            layer = layer_cls(self.config, name=f"layer_{i}", moe=moe)
             if prefix_kvs is not None or return_kv:
                 out = layer(
                     hidden, bias, deterministic,

@@ -138,6 +138,10 @@ def local_batch_to_global(batch_size: int) -> int:
 _COLUMN_PARALLEL = ("query", "key", "value", "intermediate_dense")
 _ROW_PARALLEL = ("output_dense",)
 _VOCAB_PARALLEL = ("word_embeddings", "decoder")
+# Expert parallelism: stacked expert weights [E, d, f] / [E, f, d] in
+# modules/moe.py shard their expert axis; GSPMD inserts the dispatch/
+# combine all-to-alls. Router weights stay replicated.
+_EXPERT_PARALLEL = ("moe_ffn",)
 
 
 def _path_names(path) -> tuple:
@@ -178,6 +182,10 @@ def param_sharding_tree(params: Any, mesh: Optional[Mesh] = None) -> Any:
         if leaf_name == "embedding" and module in _VOCAB_PARALLEL \
                 and leaf.ndim == 2 and leaf.shape[0] % tp == 0:
             return NamedSharding(mesh, P("model", None))
+        if leaf_name in ("wi", "wo") and leaf.ndim == 3 \
+                and any(m in _EXPERT_PARALLEL for m in names) \
+                and leaf.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model", None, None))
         return repl
 
     return jax.tree_util.tree_map_with_path(rule, params)
