@@ -138,7 +138,18 @@ def _quant_mode(cfg: TransformerConfig) -> str:
         return "int8"
     if forced in ("none", "off", "float", "0"):
         return "none"
-    return (cfg.quant or "none").lower()
+    if forced:
+        raise ValueError(
+            f"Unsupported MMF_TPU_QUANT={forced!r}; supported modes are "
+            "'int8' and 'none'."
+        )
+    mode = (cfg.quant or "none").lower()
+    if mode not in ("int8", "none"):
+        raise ValueError(
+            f"Unsupported quant mode {cfg.quant!r}; supported modes are "
+            "'int8' and 'none'."
+        )
+    return mode
 
 
 def _dense(cfg: TransformerConfig, features: int, name: str) -> nn.Module:

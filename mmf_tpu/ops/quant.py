@@ -137,7 +137,10 @@ def _int8_dense_impl(x, w, bias, out_dtype):
         x8, w8, (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (y32.astype(jnp.float32) * (xs * ws) + b2).astype(out_dtype)
+    y = (y32.astype(jnp.float32) * (xs * ws) + b2).astype(out_dtype)
+    # b2 is [1, n]: broadcasting promotes a 1-D input's [n] result to
+    # [1, n] — restore the caller's leading dims
+    return y.reshape(*lead, n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -38,12 +38,60 @@ def _is_array(v) -> bool:
     return isinstance(v, np.ndarray) or hasattr(v, "dtype")
 
 
+def _sample_schema(sample: Dict[str, Any]) -> Dict[str, Any]:
+    """Structural signature of one request sample: nested key set plus
+    per-array shape/dtype. Used to reject malformed requests at submit
+    time, before they can poison a shared micro-batch."""
+    schema: Dict[str, Any] = {}
+    for k, v in sample.items():
+        if isinstance(v, dict):
+            schema[k] = _sample_schema(v)
+        elif _is_array(v):
+            a = np.asarray(v)
+            schema[k] = ("array", tuple(a.shape), str(a.dtype))
+        else:
+            schema[k] = ("static",)
+    return schema
+
+
+def _schema_diff(expected: Dict[str, Any], got: Dict[str, Any],
+                 prefix: str = "") -> List[str]:
+    problems = []
+    for k in expected:
+        path = f"{prefix}{k}"
+        if k not in got:
+            problems.append(f"missing field {path!r}")
+        elif isinstance(expected[k], dict) != isinstance(got[k], dict):
+            problems.append(f"field {path!r} has wrong structure")
+        elif isinstance(expected[k], dict):
+            problems.extend(_schema_diff(expected[k], got[k], path + "."))
+        elif expected[k][0] == "array" and got[k][0] == "array" and \
+                expected[k] != got[k]:
+            problems.append(
+                f"field {path!r} expects shape {expected[k][1]} dtype "
+                f"{expected[k][2]}, got shape {got[k][1]} dtype {got[k][2]}"
+            )
+    for k in got:
+        if k not in expected:
+            problems.append(f"unexpected field {prefix}{k!r}")
+    return problems
+
+
 def _stack_samples(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
     """Stack a list of sample dicts into one batch dict. Array leaves
     stack along a new leading axis; non-array fields must agree across
     the batch and pass through as static metadata."""
     batch: Dict[str, Any] = {}
     first = samples[0]
+    keys0 = set(first.keys())
+    for i, s in enumerate(samples[1:], start=1):
+        if set(s.keys()) != keys0:
+            missing = sorted(keys0 - set(s.keys()))
+            extra = sorted(set(s.keys()) - keys0)
+            raise ValueError(
+                f"sample {i} key set differs from sample 0: "
+                f"missing={missing} extra={extra}"
+            )
     for key, v0 in first.items():
         vals = [s[key] for s in samples]
         if isinstance(v0, dict):
@@ -238,6 +286,28 @@ class ServingEngine:
         raise ValueError(
             f"batch of {n} exceeds max_batch_size={self.max_batch_size}"
         )
+
+    _schema: Optional[Dict[str, Any]] = None
+
+    def validate_sample(self, sample: Dict[str, Any]) -> None:
+        """Raise ValueError if ``sample`` does not match the schema
+        learned from the first served sample. Call at submit time (the
+        server does, before MicroBatcher enqueue) so one malformed
+        request gets its own 400 instead of failing the co-batched
+        requests sharing its device batch."""
+        if not isinstance(sample, dict):
+            raise ValueError(
+                f"sample must be a dict, got {type(sample).__name__}"
+            )
+        if self._schema is None:
+            self._schema = _sample_schema(sample)
+            return
+        problems = _schema_diff(self._schema, _sample_schema(sample))
+        if problems:
+            raise ValueError(
+                "request does not match the serving schema: "
+                + "; ".join(problems)
+            )
 
     def predict_many(self, samples: List[Dict[str, Any]]) -> List[Any]:
         """Run a list of request samples through one (or, above the max

@@ -174,6 +174,11 @@ class ServingServer:
                     length = int(self.headers.get("Content-Length", 0))
                     request = json.loads(self.rfile.read(length) or b"{}")
                     sample = server.prepare(server.engine, request)
+                    # schema check BEFORE enqueue: a malformed request
+                    # 400s alone instead of failing its shared batch
+                    validate = getattr(server.engine, "validate_sample", None)
+                    if validate is not None:
+                        validate(sample)
                     output = server.batcher.predict(sample, timeout=60)
                     self._send(200, server.render(output))
                 except ValueError as e:

@@ -66,6 +66,7 @@ def make_train_step(
     mutable: Tuple[str, ...] = (),
     meta: Optional[Dict[str, Any]] = None,
     report_fields: Tuple[str, ...] = (),
+    moe_aux_weight: float = 0.0,
 ) -> Callable:
     """Build the pure train step.
 
@@ -74,8 +75,18 @@ def make_train_step(
     report_fields: model-output fields (e.g. "scores") to carry into the
     report so the host can compute train-time metrics
     (``training.evaluate_metrics``, reference training_loop.py:120).
+    moe_aux_weight: weight on the MoE load-balance auxiliary loss
+    (``training.moe_aux_weight``); when > 0 the apply runs with
+    'intermediates' mutable so modules/moe.py's sowed aux losses reach
+    the total (without this, MoE trains without load balancing and the
+    routers collapse).
     """
     meta = meta or {}
+    # 'intermediates' is transient: made mutable only to harvest sowed
+    # aux losses, then stripped so it never enters persistent state
+    apply_mutable = tuple(mutable)
+    if moe_aux_weight and "intermediates" not in apply_mutable:
+        apply_mutable = apply_mutable + ("intermediates",)
 
     def loss_for_grads(params, extra_vars, batch, rng):
         variables = dict(extra_vars)
@@ -83,10 +94,12 @@ def make_train_step(
         rngs = {"dropout": rng}
         batch_in = dict(batch)
         batch_in.update(meta)
-        if mutable:
+        if apply_mutable:
             output, new_vars = model_apply(
-                variables, batch_in, True, rngs=rngs, mutable=list(mutable)
+                variables, batch_in, True, rngs=rngs,
+                mutable=list(apply_mutable)
             )
+            new_vars = dict(new_vars)
         else:
             output = model_apply(variables, batch_in, True, rngs=rngs)
             new_vars = {}
@@ -98,6 +111,11 @@ def make_train_step(
             losses = dict(output["losses"])
         else:
             losses = dict(losses_fn(batch_in, output))
+        if moe_aux_weight:
+            from mmf_tpu.modules.moe import collect_moe_aux_loss
+
+            aux = collect_moe_aux_loss(new_vars.pop("intermediates", {}))
+            losses["moe_aux_loss"] = moe_aux_weight * aux
         reported = {k: output[k] for k in report_fields if k in output}
         total = sum(jnp.mean(v) for v in losses.values())
         return total / update_frequency, (losses, new_vars, reported)

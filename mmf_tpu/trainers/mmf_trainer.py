@@ -292,6 +292,32 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                     meta[key] = v[0] if isinstance(v, list) else v
         return meta
 
+    def _moe_aux_weight(self) -> float:
+        """training.moe_aux_weight — the load-balance aux-loss weight.
+        Defaults to 0.01 (the Switch Transformer setting) whenever any
+        model_config enables moe_experts, so turning on MoE can never
+        silently train without load balancing; 0.0 otherwise."""
+        w = self.training_config.get("moe_aux_weight", None)
+        if w is not None:
+            return float(w)
+
+        def uses_moe(node):
+            if isinstance(node, dict) or hasattr(node, "items"):
+                for k, v in node.items():
+                    if k == "moe_experts" and v and int(v) > 0:
+                        return True
+                    if uses_moe(v):
+                        return True
+            return False
+
+        if uses_moe(self.config.get("model_config", {}) or {}):
+            logger.info(
+                "moe_experts enabled: defaulting training.moe_aux_weight "
+                "to 0.01 (set it explicitly to override)"
+            )
+            return 0.01
+        return 0.0
+
     def _mutable_collections(self):
         if self.train_state is None:
             return ()
@@ -319,6 +345,7 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                 mutable=self._mutable_collections(),
                 meta=meta,
                 report_fields=report_fields,
+                moe_aux_weight=self._moe_aux_weight(),
             )
             self._train_steps[key] = jax.jit(step, donate_argnums=(0,))
         return self._train_steps[key]

@@ -99,6 +99,13 @@ class Inference:
         from PIL import Image
         import jax
 
+        if not self.processor or "text_processor" not in self.processor:
+            raise RuntimeError(
+                "This checkpoint's dataset config defines no text_processor; "
+                "interactive inference needs one to tokenize the question. "
+                "Pass pre-processed fields through the library API instead "
+                "(mirrors serving's default_prepare requirement)."
+            )
         text_processor = Processor(self.processor["text_processor"])
         text_output = text_processor(text)
 

@@ -162,3 +162,84 @@ def test_trunk_moe_layers_config():
     assert out.shape == (2, 5, 16)
     aux = collect_moe_aux_loss(inter["intermediates"])
     assert float(aux) > 0.5  # two MoE layers, each >= ~1 at init
+
+
+def test_train_step_applies_moe_aux_loss():
+    """training.moe_aux_weight wiring: make_train_step with
+    moe_aux_weight > 0 must surface the sowed load-balance loss in the
+    report AND feed it gradients (the router must receive a balancing
+    signal, not just the combine-weight gradient)."""
+    import flax.linen as nn
+    import optax
+
+    from mmf_tpu.trainers.core.train_state import (
+        create_train_state, make_train_step,
+    )
+
+    class TinyMoEModel(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train, **kw):
+            x = batch["x"]
+            h = MoEFeedForward(num_experts=4, hidden_size=8,
+                               intermediate_size=16, top_k=2)(
+                x, deterministic=not train)
+            return {"scores": h.sum(axis=(1, 2))}
+
+    model = TinyMoEModel()
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 5, 8))
+    batch = {"x": x, "targets": jnp.zeros((4,))}
+    variables = model.init(jax.random.PRNGKey(1), batch, False)
+
+    def losses_fn(b, out):
+        return {"train/toy/mse": jnp.mean((out["scores"] - b["targets"]) ** 2)}
+
+    tx = optax.sgd(0.1)
+    step = make_train_step(
+        model.apply, losses_fn, tx, moe_aux_weight=0.01)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(2))
+    new_state, report = jax.jit(step)(state, batch)
+
+    assert "moe_aux_loss" in report["losses"]
+    aux = float(report["losses"]["moe_aux_loss"])
+    assert aux > 0.005  # ~0.01 * (aux ~= 1 at init)
+    # 'intermediates' must never leak into persistent state
+    assert set(new_state.variables.keys()) == {"params"}
+    # without the weight the key must be absent (backwards compatible)
+    step0 = make_train_step(model.apply, losses_fn, tx)
+    _, report0 = jax.jit(step0)(
+        create_train_state(variables, tx, jax.random.PRNGKey(2)), batch)
+    assert "moe_aux_loss" not in report0["losses"]
+
+
+def test_train_step_moe_aux_with_grad_accumulation():
+    """The aux loss must survive the lax.scan microbatch path too."""
+    import flax.linen as nn
+    import optax
+
+    from mmf_tpu.trainers.core.train_state import (
+        create_train_state, make_train_step,
+    )
+
+    class TinyMoEModel(nn.Module):
+        @nn.compact
+        def __call__(self, batch, train, **kw):
+            h = MoEFeedForward(num_experts=2, hidden_size=8,
+                               intermediate_size=16, top_k=1)(
+                batch["x"], deterministic=not train)
+            return {"scores": h.sum(axis=(1, 2))}
+
+    model = TinyMoEModel()
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 5, 8))
+    batch = {"x": x, "targets": jnp.zeros((4,))}
+    variables = model.init(jax.random.PRNGKey(4), batch, False)
+
+    def losses_fn(b, out):
+        return {"train/toy/mse": jnp.mean((out["scores"] - b["targets"]) ** 2)}
+
+    tx = optax.sgd(0.1)
+    step = make_train_step(
+        model.apply, losses_fn, tx, update_frequency=2,
+        moe_aux_weight=0.01)
+    state = create_train_state(variables, tx, jax.random.PRNGKey(5))
+    _, report = jax.jit(step)(state, batch)
+    assert float(report["losses"]["moe_aux_loss"]) > 0.0

@@ -157,3 +157,32 @@ def test_env_override_forces_off(monkeypatch):
     monkeypatch.delenv("MMF_TPU_QUANT")
     seq_f, _ = _trunk_logits("none")
     np.testing.assert_array_equal(seq_env, seq_f)
+
+
+def test_int8_dense_1d_input_keeps_shape():
+    """1-D input [k] must round-trip to [n] (the bias add used to
+    broadcast it to [1, n])."""
+    from mmf_tpu.ops.quant import int8_dense
+
+    k, n = 16, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (k,))
+    w = jax.random.normal(jax.random.PRNGKey(1), (k, n))
+    b = jax.random.normal(jax.random.PRNGKey(2), (n,))
+    y = int8_dense(x, w, b)
+    assert y.shape == (n,)
+    ref = x @ w + b
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=0.1, atol=0.1
+    )
+
+
+def test_unknown_quant_mode_raises(monkeypatch):
+    from mmf_tpu.modules.transformer import TransformerConfig, _quant_mode
+
+    monkeypatch.setenv("MMF_TPU_QUANT", "int4")
+    with pytest.raises(ValueError, match="int4"):
+        _quant_mode(TransformerConfig())
+    monkeypatch.delenv("MMF_TPU_QUANT")
+    cfg = TransformerConfig(quant="fp8")
+    with pytest.raises(ValueError, match="fp8"):
+        _quant_mode(cfg)

@@ -404,3 +404,34 @@ def test_http_profile_endpoint(tmp_path):
         for root, _, files in os.walk(resp["trace_dir"]):
             found.extend(files)
         assert found, "no trace files captured"
+
+
+def test_engine_validate_sample_schema():
+    """Submit-time schema check: the first sample teaches the schema;
+    later malformed requests raise ValueError on their own (the server
+    maps that to a 400 for just that request, before batching)."""
+    eng = _make_engine()
+    good = {"data": np.zeros((3,), np.float32), "dataset_name": "serve"}
+    eng.validate_sample(good)          # learns schema
+    eng.validate_sample(dict(good))    # same shape passes
+
+    with pytest.raises(ValueError, match="missing field 'data'"):
+        eng.validate_sample({"dataset_name": "serve"})
+    with pytest.raises(ValueError, match="unexpected field"):
+        eng.validate_sample({**good, "extra": np.zeros(2, np.float32)})
+    with pytest.raises(ValueError, match="shape"):
+        eng.validate_sample(
+            {"data": np.zeros((4,), np.float32), "dataset_name": "serve"}
+        )
+    with pytest.raises(ValueError, match="dict"):
+        eng.validate_sample([1, 2, 3])
+
+
+def test_stack_samples_rejects_key_mismatch_with_index():
+    from mmf_tpu.serving.engine import _stack_samples
+
+    with pytest.raises(ValueError, match="sample 1"):
+        _stack_samples([
+            {"a": np.zeros(2, np.float32)},
+            {"b": np.zeros(2, np.float32)},
+        ])
