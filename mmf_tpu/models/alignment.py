@@ -30,6 +30,15 @@ class CMSharedTransformer(BaseModel):
     def config_path(cls):
         return "configs/models/alignment/defaults.yaml"
 
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        alignment.py:148-150 bert-groups the text encoder). Applied
+        model-wide here — the reference keeps the image backbone's
+        bias/LN decayed in its plain group; documented simplification."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
+
     @nn.compact
     def __call__(self, sample_list: Dict[str, Any], train: bool = False):
         deterministic = not train

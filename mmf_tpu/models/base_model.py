@@ -55,6 +55,16 @@ class BaseModel(nn.Module):
         (get_optimizer_parameters, e.g. m4c.py:306-328). None = uniform."""
         return None
 
+    def get_weight_decay_mask(self, config=None):
+        """Callable ``params -> bool pytree`` (True = decay) or None for
+        uniform decay — the optax analog of the reference's weight-decay
+        param grouping (get_optimizer_parameters_for_bert,
+        mmf/utils/modeling.py:18-46: bias and LayerNorm params get
+        weight_decay 0.0). BERT-family models return
+        ``bert_no_decay_mask()``; None matches reference models without a
+        custom get_optimizer_parameters (single group, uniform decay)."""
+        return None
+
     def build_losses(self) -> Losses:
         """Construct the loss container from ``config.losses``
         (reference init_losses, base_model.py:123-135)."""

@@ -62,6 +62,14 @@ def _classifier(config, x, deterministic, name="classifier"):
 
 @registry.register_model("concat_bert")
 class ConcatBERT(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/fusions.py:87-95: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

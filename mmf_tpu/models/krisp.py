@@ -79,6 +79,14 @@ class GraphPtrNet(nn.Module):
 
 @registry.register_model("krisp")
 class KRISP(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/krisp.py:666-667: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

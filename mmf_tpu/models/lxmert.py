@@ -123,6 +123,14 @@ class VisualFeatEncoder(nn.Module):
 
 @registry.register_model("lxmert")
 class LXMERT(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/lxmert.py:721-722: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

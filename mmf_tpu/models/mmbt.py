@@ -92,8 +92,13 @@ class MMBTTrunk(nn.Module):
 
         # ---- text span ---------------------------------------------------
         t_len = input_ids.shape[1]
+        from mmf_tpu.modules.transformer import apply_padding_idx
+
         text = (
-            word_emb(input_ids.astype(jnp.int32))
+            apply_padding_idx(
+                word_emb(input_ids.astype(jnp.int32)), input_ids,
+                getattr(cfg, "pad_token_id", 0),
+            )
             + pos_emb(jnp.arange(t_len)[None, :])
             + type_emb(token_type_ids.astype(jnp.int32))
         )
@@ -113,6 +118,14 @@ class MMBTTrunk(nn.Module):
 
 @registry.register_model("mmbt")
 class MMBT(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/mmbt.py:642-643: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

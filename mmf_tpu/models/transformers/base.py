@@ -163,5 +163,13 @@ class BaseTransformer(BaseModel):
 
     config: Any = None
 
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        base.py:107-164: set_lr_for_parameters builds groups through
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
+
     def get_optimizer_parameters(self, config):
         return None  # lr multipliers handled via optax masks in trainer

@@ -142,8 +142,12 @@ class BertText(nn.Module):
             name="token_type_embeddings",
         )
         position_ids = jnp.arange(T)[None, :]
-        x = word(input_ids.astype(jnp.int32)) + pos_table(position_ids) \
-            + typ(segment_ids.astype(jnp.int32))
+        from mmf_tpu.modules.transformer import apply_padding_idx
+
+        x = apply_padding_idx(
+            word(input_ids.astype(jnp.int32)), input_ids,
+            getattr(cfg, "pad_token_id", 0),
+        ) + pos_table(position_ids) + typ(segment_ids.astype(jnp.int32))
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype,
             param_dtype=jnp.float32, name="layer_norm",

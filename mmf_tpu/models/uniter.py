@@ -110,8 +110,13 @@ class UNITERTextEmbeddings(nn.Module):
             position_ids = jnp.arange(input_ids.shape[1])[None, :]
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
+        from mmf_tpu.modules.transformer import apply_padding_idx
+
         x = (
-            self.word_embeddings(input_ids.astype(jnp.int32))
+            apply_padding_idx(
+                self.word_embeddings(input_ids.astype(jnp.int32)),
+                input_ids, getattr(self.cfg, "pad_token_id", 0),
+            )
             + self.position_embeddings(position_ids.astype(jnp.int32))
             + self.token_type_embeddings(token_type_ids.astype(jnp.int32))
         )

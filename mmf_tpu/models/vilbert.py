@@ -333,6 +333,14 @@ class ViLBertBase(nn.Module):
 
 @registry.register_model("vilbert")
 class ViLBERT(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/vilbert.py:1420-1421: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

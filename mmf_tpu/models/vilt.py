@@ -84,6 +84,16 @@ class ViLT(BaseModel):
     def config_path(cls):
         return "configs/models/vilt/defaults.yaml"
 
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        vilt.py:187-195 bert-groups text_embeddings + heads). Applied
+        model-wide here: the reference leaves the ViT encoder's and image
+        embedding's bias/LN decayed at 0.01 in their plain groups — a
+        deliberate simplification, documented rather than silent."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
+
     def _heads(self):
         head_configs = self.config.get("heads", {}) or {}
         tasks = self.config.get("tasks", None)

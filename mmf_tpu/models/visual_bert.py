@@ -66,8 +66,13 @@ class VisualBertEmbeddings(nn.Module):
         # text span
         seq_len = input_ids.shape[1]
         positions = jnp.arange(seq_len)[None, :]
+        from mmf_tpu.modules.transformer import apply_padding_idx
+
         text = (
-            word_emb(input_ids.astype(jnp.int32))
+            apply_padding_idx(
+                word_emb(input_ids.astype(jnp.int32)), input_ids,
+                cfg.pad_token_id,
+            )
             + pos_emb(positions)
             + type_emb(token_type_ids.astype(jnp.int32))
         )
@@ -124,6 +129,14 @@ class VisualBertBase(nn.Module):
 
 @registry.register_model("visual_bert")
 class VisualBERT(BaseModel):
+
+    def get_weight_decay_mask(self, config=None):
+        """Bias/LayerNorm exempt from weight decay (reference
+        mmf/models/visual_bert.py:469-470: get_optimizer_parameters_for_bert /
+        get_bert_configured_parameters)."""
+        from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+        return bert_no_decay_mask()
     config: Any = None
 
     @classmethod

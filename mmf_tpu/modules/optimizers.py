@@ -131,12 +131,18 @@ def build_optimizer_transform(
     schedule_fn=None,
     max_grad_norm: Optional[float] = None,
     lr_multipliers: Optional[Dict[str, float]] = None,
+    weight_decay_mask=None,
 ) -> optax.GradientTransformation:
     """Build the full optax chain: clip -> optimizer -> lr schedule.
 
     Mirrors reference build_optimizer (utils/build.py:405-453): type from
     ``optimizer.type`` (torch name or registered custom), params from
     ``optimizer.params``.
+
+    weight_decay_mask: callable ``params -> bool pytree`` (True = decay)
+    from the model's ``get_weight_decay_mask`` — the reference's
+    weight-decay param grouping (bias/LayerNorm exempt for BERT models,
+    mmf/utils/modeling.py:18-46).
     """
     optimizer_config = config["optimizer"]
     if "type" not in optimizer_config:
@@ -153,12 +159,23 @@ def build_optimizer_transform(
         chain.append(optax.clip_by_global_norm(max_grad_norm))
 
     if custom is not None:
+        if weight_decay_mask is not None:
+            params.setdefault("mask", weight_decay_mask)
         tx = custom(**params)
     elif name in _TORCH_OPTIMIZERS:
+        if name.lower() in ("adam_w", "adamw") and "weight_decay" not in params:
+            # torch.optim.AdamW defaults weight_decay to 0.01 (the
+            # reference's effective default, utils/modeling.py:18);
+            # optax's 1e-4 default would silently diverge
+            params["weight_decay"] = 0.01
         translated = _translate_params(name, params)
         wd = translated.pop("_weight_decay", None)
         if wd:
-            chain.append(optax.add_decayed_weights(wd))
+            chain.append(
+                optax.add_decayed_weights(wd, mask=weight_decay_mask)
+            )
+        if weight_decay_mask is not None and "weight_decay" in translated:
+            translated["mask"] = weight_decay_mask
         tx = _TORCH_OPTIMIZERS[name](**translated)
     else:
         raise ValueError(

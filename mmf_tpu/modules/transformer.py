@@ -92,6 +92,30 @@ class TransformerConfig:
     moe_every: int = 2
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # HF nn.Embedding(padding_idx=pad_token_id) semantics: the pad row of
+    # word_embeddings receives zero gradient (BertConfig.pad_token_id
+    # defaults to 0). Implemented as stop_gradient on pad positions —
+    # forward-identical, grad-exact vs torch. None disables.
+    pad_token_id: Any = 0
+    # Sequence parallelism (beyond reference — MMF has none): route
+    # self-attention through ring attention over the mesh's ``model``
+    # axis (ops/ring_attention.py), sharding the sequence so the [S, S]
+    # score matrix never materializes on any one chip. YAML-reachable as
+    # ``model_config.<model>.sequence_parallel: true`` (or globally via
+    # ``training.sequence_parallel``). Applies when the mesh's model
+    # axis > 1, the sequence divides it, and the attention bias is a
+    # padding mask ([B,1,1,S]); otherwise falls back to dense attention.
+    sequence_parallel: bool = False
+    # Pipeline parallelism (beyond reference): run the trunk's layers as
+    # ``pipeline_stages`` GPipe-style stages over the mesh's ``model``
+    # axis with ``pipeline_microbatches`` microbatches
+    # (parallel/pipeline.py SPMD formulation). Param layout is unchanged
+    # (unrolled layer_i scopes — checkpoints stay compatible); stacking
+    # into the stage layout happens inside the jitted step.
+    # YAML-reachable as ``model_config.<model>.pipeline_stages`` (or
+    # ``training.pipeline.num_stages`` / ``num_microbatches``).
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
 
     @classmethod
     def from_dict(cls, d, **overrides):
@@ -103,6 +127,28 @@ class TransformerConfig:
         elif d.get("dtype") in ("float32", "fp32"):
             d["dtype"] = jnp.float32
         return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+_WARNED: set = set()
+
+
+def _warn_once(msg: str):
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        import logging
+
+        logging.getLogger("mmf_tpu").warning(msg)
+
+
+def apply_padding_idx(embeds, input_ids, pad_token_id=0):
+    """torch ``nn.Embedding(padding_idx=...)`` gradient semantics: pad
+    positions contribute zero gradient to the embedding table (HF BERT
+    builds word_embeddings with padding_idx=config.pad_token_id).
+    Forward-identity — only the VJP changes."""
+    if pad_token_id is None:
+        return embeds
+    is_pad = (input_ids == pad_token_id)[..., None]
+    return jnp.where(is_pad, jax.lax.stop_gradient(embeds), embeds)
 
 
 class ResidualLayerNorm(nn.Module):
@@ -204,15 +250,47 @@ class SelfAttention(nn.Module):
         if prefix_kv is not None:
             k = jnp.concatenate([prefix_kv[0], k], axis=2)
             v = jnp.concatenate([prefix_kv[1], v], axis=2)
-        attn_rng = None
-        if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
-            attn_rng = self.make_rng("dropout")
-        ctx = dot_product_attention(
-            q, k, v, bias=bias,
-            dropout_rate=0.0 if deterministic
-            else cfg.attention_probs_dropout_prob,
-            dropout_rng=attn_rng,
-        )
+        ctx = None
+        if (
+            cfg.sequence_parallel
+            and prefix_kv is None
+            and not return_kv
+            and kv is hidden
+            and (bias is None or (bias.ndim == 4 and bias.shape[2] == 1))
+        ):
+            from mmf_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.get_mesh()
+            sp = mesh.shape.get("model", 1)
+            if sp > 1 and q.shape[2] % sp == 0:
+                from mmf_tpu.ops.ring_attention import ring_attention_sharded
+
+                if not deterministic and \
+                        cfg.attention_probs_dropout_prob > 0.0:
+                    _warn_once(
+                        "sequence_parallel: ring attention does not apply "
+                        "attention-probs dropout (hidden dropout is "
+                        "unaffected); set attention_probs_dropout_prob=0 "
+                        "to silence this"
+                    )
+                key_mask = None
+                if bias is not None:
+                    # padding-mask bias [B,1,1,S]: 0 = attend, very
+                    # negative = masked (make_attention_bias)
+                    key_mask = bias[:, 0, 0, :] >= -1.0
+                ctx = ring_attention_sharded(
+                    q, k, v, mesh, axis="model", key_mask=key_mask
+                )
+        if ctx is None:
+            attn_rng = None
+            if not deterministic and cfg.attention_probs_dropout_prob > 0.0:
+                attn_rng = self.make_rng("dropout")
+            ctx = dot_product_attention(
+                q, k, v, bias=bias,
+                dropout_rate=0.0 if deterministic
+                else cfg.attention_probs_dropout_prob,
+                dropout_rng=attn_rng,
+            )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(
             hidden.shape[0], hidden.shape[1], cfg.hidden_size
         )
@@ -299,6 +377,15 @@ class TransformerEncoder(nn.Module):
         prefix tokens (see SelfAttention); ``return_kv`` returns the
         per-layer (k, v) list alongside the output."""
         n = self.num_layers or self.config.num_hidden_layers
+        if (
+            self.config.pipeline_stages > 1
+            and prefix_kvs is None and not return_kv
+            and not output_hidden_states
+            and not self.is_initializing()
+        ):
+            out = self._pipeline_forward(hidden, bias, deterministic, n)
+            if out is not None:
+                return out
         layer_cls = TransformerLayer
         if self.config.remat:
             policy = None
@@ -347,6 +434,81 @@ class TransformerEncoder(nn.Module):
             return hidden, all_kv
         return hidden
 
+    def _pipeline_forward(self, hidden, bias, deterministic, n):
+        """GPipe-style pipelined trunk (parallel/pipeline.py) over the
+        mesh's ``model`` axis. Uses the SAME unrolled layer_i params —
+        stacking into the [stages, layers_per_stage, ...] layout happens
+        here inside the jitted step, so checkpoints and converted torch
+        weights are untouched. Returns None to fall back to the unrolled
+        loop when the configuration can't pipeline (with a logged
+        reason — never silent)."""
+        cfg = self.config
+        from mmf_tpu.parallel import mesh as mesh_lib
+        from mmf_tpu.parallel.pipeline import (
+            pipeline_apply,
+            pipeline_transformer_stage,
+            trunk_pipeline_params,
+        )
+
+        stages = cfg.pipeline_stages
+        mesh = mesh_lib.get_mesh()
+        reason = None
+        if cfg.moe_experts > 0:
+            reason = "pipeline_stages with moe_experts is unsupported"
+        elif mesh.shape.get("model", 1) != stages:
+            reason = (
+                f"pipeline_stages={stages} but the mesh's model axis is "
+                f"{mesh.shape.get('model', 1)} (set distributed.mesh.model "
+                f"= pipeline_stages)"
+            )
+        elif n % stages != 0:
+            reason = f"{n} layers not divisible into {stages} stages"
+        else:
+            m = cfg.pipeline_microbatches or stages
+            batch_axis = (
+                "data"
+                if "data" in mesh.axis_names and mesh.shape["data"] > 1
+                else None
+            )
+            dp = mesh.shape[batch_axis] if batch_axis else 1
+            if hidden.shape[0] % (m * dp) != 0:
+                reason = (
+                    f"batch {hidden.shape[0]} not divisible by "
+                    f"{m} microbatches x {dp} data shards"
+                )
+        if reason is not None:
+            _warn_once(f"pipeline disabled: {reason}; running unrolled")
+            return None
+
+        params = self.variables["params"]
+        stacked = trunk_pipeline_params(params, stages)
+        layer_module = TransformerLayer(cfg)
+        if bias is None:
+            bias = jnp.zeros(
+                (hidden.shape[0], 1, 1, hidden.shape[1]), cfg.dtype
+            )
+        extras = [bias]
+        needs_rng = not deterministic and (
+            cfg.hidden_dropout_prob > 0.0
+            or cfg.attention_probs_dropout_prob > 0.0
+        )
+        if needs_rng:
+            base = self.make_rng("dropout")
+            # one key per (data shard, microbatch): rows of a microbatch
+            # block share that microbatch's key
+            mb_keys = jax.random.split(base, dp * m)
+            key_data = jax.random.key_data(mb_keys)  # [dp*M, key_size]
+            mb = hidden.shape[0] // (dp * m)
+            extras.append(jnp.repeat(key_data, mb, axis=0))  # [B, ...]
+        stage_fn = pipeline_transformer_stage(
+            layer_module, deterministic, with_rng=needs_rng, axis="model"
+        )
+        return pipeline_apply(
+            stage_fn, stacked, hidden, mesh, axis="model",
+            num_microbatches=m, extras=tuple(extras),
+            batch_axis=batch_axis,
+        )
+
 
 class TextEmbeddings(nn.Module):
     """BERT word/position/token-type embeddings + LN + dropout."""
@@ -364,6 +526,9 @@ class TextEmbeddings(nn.Module):
                 param_dtype=jnp.float32, dtype=cfg.dtype,
                 name="word_embeddings",
             )(input_ids.astype(jnp.int32))
+            inputs_embeds = apply_padding_idx(
+                inputs_embeds, input_ids, cfg.pad_token_id
+            )
         seq_len = inputs_embeds.shape[1]
         if position_ids is None:
             position_ids = jnp.arange(seq_len)[None, :]

@@ -51,17 +51,26 @@ def _shard_map():
     return shard_map
 
 
-def _vary(x, axis_name):
-    """Mark a replicated value as device-varying so scan carries and
-    ``where`` mixes type-check under shard_map's varying-axis typing
-    (same dance as ops/ring_attention.py)."""
-    try:
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-    except AttributeError:
+def _vary(x, axis_names):
+    """Mark a replicated value as device-varying over ``axis_names``
+    (str or tuple) so scan carries and ``where`` mixes type-check under
+    shard_map's varying-axis typing (same dance as
+    ops/ring_attention.py)."""
+    if isinstance(axis_names, str):
+        axis_names = (axis_names,)
+    for name in axis_names:
         try:
-            return jax.lax.pvary(x, (axis_name,))
+            x = jax.lax.pcast(x, (name,), to="varying")
         except AttributeError:
-            return x
+            try:
+                x = jax.lax.pvary(x, (name,))
+            except AttributeError:
+                return x
+        except ValueError:
+            # already varying over this axis (e.g. a data-sharded input
+            # under batch_axis) — nothing to add
+            pass
+    return x
 
 
 def stack_stage_params(stage_params: Sequence[Any]) -> Any:
@@ -96,6 +105,7 @@ def pipeline_apply(
     axis: str = "model",
     num_microbatches: Optional[int] = None,
     extras: Sequence[jax.Array] = (),
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """Run ``x`` through ``n = mesh.shape[axis]`` pipeline stages.
 
@@ -104,25 +114,40 @@ def pipeline_apply(
     x: [B, ...] global batch; ``B % num_microbatches == 0``.
     extras: additional batch-leading arrays microbatched alongside ``x``
         and passed to ``stage_fn`` (e.g. an attention-bias tensor).
+    batch_axis: mesh axis the batch is data-parallel over (e.g.
+        ``"data"`` on a dp x pp mesh). Each data-row of the mesh then
+        pipelines only its OWN batch shard — without this, shard_map
+        would all-gather the batch and every row would duplicate the
+        full-batch work. ``num_microbatches`` applies per shard.
     Returns [B, ...] with the same shape as ``stage_fn``'s output,
-    replicated over ``axis``.
+    replicated over ``axis`` (sharded over ``batch_axis`` if given).
     """
     n = mesh.shape[axis]
     m = num_microbatches or n
+    dp = mesh.shape[batch_axis] if batch_axis else 1
     b = x.shape[0]
-    assert b % m == 0, f"batch {b} not divisible by {m} microbatches"
-    mb = b // m
+    assert b % (m * dp) == 0, (
+        f"batch {b} not divisible by {m} microbatches x {dp} data shards"
+    )
+    mb = b // dp // m
 
     perm = [(j, (j + 1) % n) for j in range(n)]
+
+    # with a batch_axis the activations vary over BOTH mesh axes (each
+    # data row pipelines its own shard), so carries/buffers must be
+    # typed varying over both for shard_map's vma checking
+    vary_axes = (axis,) + ((batch_axis,) if batch_axis else ())
 
     def device_fn(params_stk, x_rep, *extras_rep):
         # local slice of the stacked params: leading axis is 1 here
         params = jax.tree_util.tree_map(lambda p: p[0], params_stk)
         idx = jax.lax.axis_index(axis)
 
-        xs = _vary(x_rep.reshape(m, mb, *x_rep.shape[1:]), axis)
+        # x_rep is the local batch shard when batch_axis is set
+        xs = _vary(x_rep.reshape(m, mb, *x_rep.shape[1:]), vary_axes)
         exs = tuple(
-            _vary(e.reshape(m, mb, *e.shape[1:]), axis) for e in extras_rep
+            _vary(e.reshape(m, mb, *e.shape[1:]), vary_axes)
+            for e in extras_rep
         )
 
         def at(buf, t):
@@ -154,8 +179,10 @@ def pipeline_apply(
             f"pipeline stages must preserve activation shape, got "
             f"{y_shape.shape} from {(mb, *x_rep.shape[1:])}"
         )
-        recv0 = _vary(jnp.zeros(y_shape.shape, y_shape.dtype), axis)
-        outs0 = _vary(jnp.zeros((m, *y_shape.shape), y_shape.dtype), axis)
+        recv0 = _vary(jnp.zeros(y_shape.shape, y_shape.dtype), vary_axes)
+        outs0 = _vary(
+            jnp.zeros((m, *y_shape.shape), y_shape.dtype), vary_axes
+        )
         (_, outs), _ = jax.lax.scan(
             step, (recv0, outs0), jnp.arange(m + n - 1)
         )
@@ -163,33 +190,73 @@ def pipeline_apply(
         outs = jax.lax.psum(
             jnp.where(idx == n - 1, outs, jnp.zeros_like(outs)), axis
         )
-        return outs.reshape(b, *y_shape.shape[1:])
+        return outs.reshape(x_rep.shape[0], *y_shape.shape[1:])
 
-    in_specs = [P(axis)] + [P(None)] * (1 + len(extras))
+    data_spec = P(batch_axis) if batch_axis else P(None)
+    in_specs = [P(axis)] + [data_spec] * (1 + len(extras))
     mapped = _shard_map()(
         device_fn, mesh=mesh,
-        in_specs=tuple(in_specs), out_specs=P(None),
+        in_specs=tuple(in_specs), out_specs=data_spec,
     )
     return mapped(stage_params, x, *extras)
 
 
-def pipeline_transformer_stage(layer_module, deterministic: bool = True):
+def pipeline_transformer_stage(layer_module, deterministic: bool = True,
+                               with_rng: bool = False,
+                               axis: str = "model"):
     """Adapter: a flax ``TransformerLayer``-style module as a pipeline
     stage whose stacked params hold ``layers_per_stage`` layers each
     (leaves shaped [n_stages, layers_per_stage, ...]).
 
-    Returns ``stage_fn(stage_params, hidden, bias)`` that scans the
-    stage's layers locally (one stage = a contiguous slab of the trunk).
+    Returns ``stage_fn(stage_params, hidden, bias[, rng_rows])`` that
+    scans the stage's layers locally (one stage = a contiguous slab of
+    the trunk).
+
+    with_rng: training-mode dropout. The caller microbatches a
+    [B, key_size] ``jax.random.key_data`` array where every row of a
+    microbatch carries that microbatch's key (see
+    TransformerEncoder's pipeline path); the stage derives a distinct
+    key per (microbatch, stage, local layer) by folding the stage index
+    and layer index into the microbatch key — masks stay independent
+    across microbatches and layers, as in the unpipelined trunk.
     """
 
-    def stage_fn(stage_params, hidden, bias):
-        def body(h, layer_params):
-            h = layer_module.apply(
-                {"params": layer_params}, h, bias, deterministic
-            )
+    def stage_fn(stage_params, hidden, bias, *rest):
+        if with_rng:
+            (rng_rows,) = rest
+            # row 0 of the microbatch block IS the microbatch key; the
+            # key-data width identifies the impl (threefry: 2 words,
+            # rbg/unsafe_rbg: 4 — the trainer defaults to rbg)
+            impl = "threefry2x32" if rng_rows.shape[-1] == 2 else "rbg"
+            mb_key = jax.random.wrap_key_data(rng_rows[0], impl=impl)
+            stage_idx = jax.lax.axis_index(axis)
+        else:
+            mb_key = None
+
+        def body(carry, xs):
+            h = carry
+            if with_rng:
+                layer_params, j = xs
+                key = jax.random.fold_in(
+                    jax.random.fold_in(mb_key, stage_idx), j
+                )
+                h = layer_module.apply(
+                    {"params": layer_params}, h, bias, deterministic,
+                    rngs={"dropout": key},
+                )
+            else:
+                layer_params = xs
+                h = layer_module.apply(
+                    {"params": layer_params}, h, bias, deterministic
+                )
             return h, None
 
-        hidden, _ = jax.lax.scan(body, hidden, stage_params)
+        if with_rng:
+            n_local = jax.tree_util.tree_leaves(stage_params)[0].shape[0]
+            xs = (stage_params, jnp.arange(n_local))
+        else:
+            xs = stage_params
+        hidden, _ = jax.lax.scan(body, hidden, xs)
         return hidden
 
     return stage_fn

@@ -67,6 +67,43 @@ def get_bert_configured_parameters(params: Any, lr: Optional[float] = None,
     return jax.tree_util.tree_map_with_path(decay_mask, params)
 
 
+def bert_no_decay_mask(scopes=None):
+    """Callable ``params -> bool mask pytree`` for optax's ``mask`` arg:
+    True = apply weight decay. Mirrors the reference no-decay list
+    ``["bias", "LayerNorm.bias", "LayerNorm.weight"]``
+    (mmf/utils/modeling.py:26) — in flax terms: any ``bias`` leaf and
+    LayerNorm ``scale``/``bias``.
+
+    scopes: optional iterable of top-level param scopes the exemption
+    applies to (reference models like ViLT bert-group only some
+    submodules, vilt.py:187-195); params outside the scopes decay
+    unconditionally, matching their plain torch param groups.
+    """
+    scope_set = tuple(scopes) if scopes is not None else None
+
+    def decay_leaf(path, _):
+        parts = [
+            (p.key if hasattr(p, "key") else str(p)) for p in path
+        ]
+        if scope_set is not None and (
+            not parts or parts[0] not in scope_set
+        ):
+            return True
+        path_str = "/".join(parts).lower()
+        no_decay = (
+            path_str.endswith("bias")
+            or path_str.endswith("scale")  # flax LayerNorm weight
+            or "layer_norm" in path_str.rsplit("/", 1)[-1]
+            or "layernorm" in path_str.rsplit("/", 1)[-1]
+        )
+        return not no_decay
+
+    def mask_fn(params):
+        return jax.tree_util.tree_map_with_path(decay_leaf, params)
+
+    return mask_fn
+
+
 def get_optimizer_parameters_for_bert(params, config):
     """Returns (weight_decay_mask, lr_multiplier_transform or None)
     (reference modeling.py:get_optimizer_parameters_for_bert)."""
