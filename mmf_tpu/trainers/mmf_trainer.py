@@ -122,6 +122,45 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
                     "training.fp16=true: using bf16 compute / f32 params"
                 )
 
+        # training-level parallelism knobs inject into the active model
+        # config (same pattern as fp16 above) so a user YAML alone turns
+        # pipeline / sequence parallelism on for any TransformerConfig
+        # model: training.pipeline.{num_stages,num_microbatches} and
+        # training.sequence_parallel map to the trunk's pipeline_stages /
+        # pipeline_microbatches / sequence_parallel
+        # (modules/transformer.py; primitives in parallel/pipeline.py
+        # and ops/ring_attention.py).
+        pipe_cfg = self.training_config.get("pipeline", {}) or {}
+        seq_par = self.training_config.get("sequence_parallel", None)
+        if pipe_cfg or seq_par is not None:
+            from mmf_tpu.config import omega
+
+            model_key = self.config.get("model", None)
+            model_cfg = (self.config.get("model_config", {}) or {}).get(
+                model_key, None
+            )
+            if model_cfg is not None:
+                with omega.open_dict(self.config):
+                    if pipe_cfg.get("num_stages", 0):
+                        model_cfg["pipeline_stages"] = int(
+                            pipe_cfg["num_stages"]
+                        )
+                        model_cfg["pipeline_microbatches"] = int(
+                            pipe_cfg.get("num_microbatches", 0) or 0
+                        )
+                        logger.info(
+                            "training.pipeline: trunk will run "
+                            f"{model_cfg['pipeline_stages']} pipeline "
+                            "stages over the mesh's model axis"
+                        )
+                    if seq_par is not None:
+                        model_cfg["sequence_parallel"] = bool(seq_par)
+                        logger.info(
+                            "training.sequence_parallel="
+                            f"{bool(seq_par)}: self-attention will use "
+                            "ring attention over the mesh's model axis"
+                        )
+
         self.model = build_model(self.config)
         self.losses = self.model.build_losses()
         # rng_impl "rbg" uses the TPU's hardware RngBitGenerator for
@@ -147,9 +186,15 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
         lr_multipliers = None
         if hasattr(self.model, "get_lr_multipliers"):
             lr_multipliers = self.model.get_lr_multipliers(self.config)
+        # weight-decay grouping (reference get_optimizer_parameters_for_bert,
+        # utils/modeling.py:18-46): BERT-family models exempt bias/LayerNorm
+        wd_mask = None
+        if hasattr(self.model, "get_weight_decay_mask"):
+            wd_mask = self.model.get_weight_decay_mask(self.config)
         self.tx = build_optimizer_transform(
             self.config, schedule_fn=schedule_fn,
             max_grad_norm=max_grad_norm, lr_multipliers=lr_multipliers,
+            weight_decay_mask=wd_mask,
         )
         self._schedule_fn = schedule_fn
 
@@ -263,10 +308,19 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             )
             variables = jax.device_get(variables)
         # replicated when the mesh's model axis is 1; tensor-parallel
-        # kernel shardings otherwise (parallel/mesh.py rules)
-        variables = jax.device_put(
-            variables, mesh_lib.param_sharding_tree(variables, self.mesh)
-        )
+        # kernel shardings otherwise (parallel/mesh.py rules) — unless
+        # pipeline or sequence parallelism owns the model axis, in which
+        # case TP sharding would just force GSPMD to re-lay params out
+        # every step (pipeline stacks stages; ring attention shards the
+        # sequence)
+        if self._uses_pp_or_sp():
+            variables = jax.device_put(
+                variables, mesh_lib.replicated_sharding(self.mesh)
+            )
+        else:
+            variables = jax.device_put(
+                variables, mesh_lib.param_sharding_tree(variables, self.mesh)
+            )
         n_params = sum(
             np.prod(x.shape)
             for x in jax.tree_util.tree_leaves(variables.get("params", {}))
@@ -317,6 +371,24 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             )
             return 0.01
         return 0.0
+
+    def _uses_pp_or_sp(self) -> bool:
+        """True when any model_config enables pipeline_stages > 1 or
+        sequence_parallel — those own the mesh's model axis, so the
+        tensor-parallel param-sharding rules must stand down."""
+
+        def scan(node):
+            if isinstance(node, dict) or hasattr(node, "items"):
+                for k, v in node.items():
+                    if k == "pipeline_stages" and v and int(v) > 1:
+                        return True
+                    if k == "sequence_parallel" and bool(v):
+                        return True
+                    if scan(v):
+                        return True
+            return False
+
+        return scan(self.config.get("model_config", {}) or {})
 
     def _mutable_collections(self):
         if self.train_state is None:
