@@ -107,11 +107,46 @@ def _reference_baseline() -> tuple[float, str]:
 # service intermittently hangs for >10 min; observed and documented in
 # BENCH_NOTES.md). A fallback result is explicitly labeled.
 RECORDED_TPU_BF16_SPS = 3239.3
+# Recorded Hateful Memes MMBT-grid batch-1 latency (2026-08-18, this
+# chip, tools/benchmarks/bench_latency.py): end-to-end p50 through the
+# tunnel and the two-point marginal on-device compute time.
+RECORDED_HM_P50_MS = 29.6
+RECORDED_HM_DEVICE_MS = 0.70
 LIVE_TIMEOUT_S = 540
+LATENCY_TIMEOUT_S = 420
 
 
-def _result(value, ref_sps, ref_source, value_source):
+def _latency_metric():
+    """Second BASELINE.json metric: Hateful Memes MMBT-grid batch-1
+    inference latency (p50 end-to-end + on-device marginal), via
+    tools/benchmarks/bench_latency.py's measure()."""
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo_root, "tools", "benchmarks"))
+    from bench_latency import measure
+
+    p50, p95, device_ms = measure(samples=30)
     return {
+        "metric": "Hateful Memes p50 inference latency "
+                  "(MMBT-grid, bfloat16, batch 1)",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "p95_ms": round(p95, 2),
+        "device_ms": round(device_ms, 3),
+        "value_source": "measured_live",
+        "note": "end-to-end p50 includes ~25 ms fixed host<->device "
+                "tunnel overhead on this image; device_ms is the "
+                "two-point marginal on-device compute time",
+    }
+
+
+def _result(value, ref_sps, ref_source, value_source, secondary=None):
+    """secondary: dict = include it; None = include the recorded
+    fallback; False = omit (the --live subprocess measures only the
+    primary; main_guarded attaches the separately-guarded secondary)."""
+    out = {
         "metric": "VQA2 samples/sec/chip (VisualBERT-base eval, bf16)",
         "value": round(value, 2),
         "unit": "samples/sec/chip",
@@ -127,41 +162,84 @@ def _result(value, ref_sps, ref_source, value_source):
             ),
         },
     }
+    if secondary is None:
+        secondary = {
+            "metric": "Hateful Memes p50 inference latency "
+                      "(MMBT-grid, bfloat16, batch 1)",
+            "value": RECORDED_HM_P50_MS,
+            "unit": "ms",
+            "device_ms": RECORDED_HM_DEVICE_MS,
+            "value_source": "recorded_2026-08-18 (live run unavailable; "
+                            "see BENCH_NOTES.md)",
+        }
+    if secondary is not False:
+        out["secondary_metric"] = secondary
+    return out
 
 
 def main():
     value = _throughput("bfloat16")
     ref_sps, ref_source = _reference_baseline()
-    print(json.dumps(_result(value, ref_sps, ref_source, "measured_live")))
+    print(json.dumps(
+        _result(value, ref_sps, ref_source, "measured_live",
+                secondary=False)
+    ))
 
 
-def main_guarded():
-    """Run the live measurement in a subprocess with a hard timeout so a
-    hung remote-compile service yields a labeled recorded-value line
-    instead of no record at all."""
+def main_latency():
+    print(json.dumps(_latency_metric()))
+
+
+def _run_live(mode: str, timeout_s: int):
+    """Run one metric's live measurement in its own subprocess with its
+    own hard timeout — the tunnel's remote-compile service hangs
+    intermittently, and metric 2 hanging must not sink metric 1's live
+    run (and vice versa). Returns the parsed JSON line or None."""
     import os
     import subprocess
     import sys
 
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--live"],
+            [sys.executable, os.path.abspath(__file__), mode],
             capture_output=True,
-            timeout=LIVE_TIMEOUT_S,
+            timeout=timeout_s,
         )
         if proc.returncode == 0:
             for line in proc.stdout.decode().splitlines():
                 if line.startswith("{"):
-                    print(line)
-                    return
-        failure = f"live bench rc={proc.returncode}"
+                    return json.loads(line), None
+        return None, f"rc={proc.returncode}"
     except subprocess.TimeoutExpired:
-        failure = f"live bench exceeded {LIVE_TIMEOUT_S}s (tunnel hang)"
+        return None, f"exceeded {timeout_s}s (tunnel hang)"
+
+
+def main_guarded():
+    """Emit ONE JSON line carrying both BASELINE.json metrics, each from
+    its own timeout-guarded live subprocess, falling back (labeled) to
+    the most recent completed measurement when the tunnel is hung."""
+    primary, fail1 = _run_live("--live", LIVE_TIMEOUT_S)
+    secondary, fail2 = _run_live("--latency", LATENCY_TIMEOUT_S)
+    if secondary is None:
+        secondary = {
+            "metric": "Hateful Memes p50 inference latency "
+                      "(MMBT-grid, bfloat16, batch 1)",
+            "value": RECORDED_HM_P50_MS,
+            "unit": "ms",
+            "device_ms": RECORDED_HM_DEVICE_MS,
+            "value_source": f"recorded_2026-08-18 (live: {fail2}; "
+                            "see BENCH_NOTES.md)",
+        }
+    if primary is not None:
+        primary["secondary_metric"] = secondary
+        print(json.dumps(primary))
+        return
 
     ref_sps, ref_source = _reference_baseline()
     out = _result(
         RECORDED_TPU_BF16_SPS, ref_sps, ref_source,
-        f"recorded_2026-08-17 ({failure}; see BENCH_NOTES.md)",
+        f"recorded_2026-08-17 (live bench {fail1}; see BENCH_NOTES.md)",
+        secondary=secondary,
     )
     print(json.dumps(out))
 
@@ -171,5 +249,7 @@ if __name__ == "__main__":
 
     if "--live" in sys.argv:
         main()
+    elif "--latency" in sys.argv:
+        main_latency()
     else:
         main_guarded()
