@@ -146,3 +146,110 @@ def test_attention_probs_dropout_active_in_train():
                     rngs={"dropout": jax.random.PRNGKey(3)})
     assert np.abs(np.asarray(tr1) - np.asarray(tr2)).max() > 1e-6
     assert np.abs(np.asarray(tr1) - np.asarray(det)).max() > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Pallas blockwise backward (VJP from saved LSE — ops/attention.py
+# _flash_backward). The forward grad test above covers the 1-block case;
+# these pin multi-block grids, asymmetric lens, padding, bf16, and the
+# remat escape hatch.
+# ---------------------------------------------------------------------------
+def _grad_pair(q, k, v, bias=None):
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, bias, interpret=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        out = mha_reference(q, k, v, bias)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    return g_flash, g_ref
+
+
+def test_flash_backward_multiblock():
+    """Several q AND kv blocks (256x384 at 128-blocks): the fori_loop
+    accumulation paths in both backward kernels."""
+    q, k, v = _inputs(b=1, h=2, sq=256, skv=384, d=64, seed=3)
+    mask = jnp.concatenate([jnp.ones((1, 300)), jnp.zeros((1, 84))], axis=1)
+    g_flash, g_ref = _grad_pair(q, k, v, make_attention_bias(mask))
+    for a, b in zip(g_flash, g_ref):
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * max(scale, 1.0)
+        )
+
+
+def test_flash_backward_no_bias():
+    q, k, v = _inputs(b=2, h=2, sq=128, skv=256, d=32, seed=4)
+    g_flash, g_ref = _grad_pair(q, k, v, None)
+    for a, b in zip(g_flash, g_ref):
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * max(scale, 1.0)
+        )
+
+
+def test_flash_backward_cross_attention_unaligned():
+    """Two-stream co-attention shapes: asymmetric, non-128-multiple
+    lens exercise the padded-row/column zeroing in the backward."""
+    q, k, v = _inputs(b=2, h=2, sq=100, skv=228, d=64, seed=5)
+    mask = jnp.concatenate([jnp.ones((2, 200)), jnp.zeros((2, 28))], axis=1)
+    g_flash, g_ref = _grad_pair(q, k, v, make_attention_bias(mask))
+    for a, b in zip(g_flash, g_ref):
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * max(scale, 1.0)
+        )
+
+
+def test_flash_backward_prefix_lm_bias():
+    """Full [B,1,Sq,Skv] structural bias (M4C prefix-LM causal span)."""
+    q, k, v = _inputs(b=1, h=2, sq=64, skv=64, d=32, seed=6)
+    causal = jnp.tril(jnp.ones((64, 64)))
+    bias = (1.0 - causal)[None, None] * -1e9
+    g_flash, g_ref = _grad_pair(q, k, v, bias)
+    for a, b in zip(g_flash, g_ref):
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5 * max(scale, 1.0)
+        )
+
+
+def test_flash_backward_bf16():
+    q, k, v = _inputs(b=1, h=2, sq=128, skv=128, d=64, seed=7)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    g_flash, g_ref = _grad_pair(q, k, v, None)
+    for a, b in zip(g_flash, g_ref):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=0.15, rtol=0.1,
+        )
+
+
+def test_flash_backward_fully_masked_rows_finite():
+    """All-masked rows: with the finite mask constant, softmax
+    shift-invariance makes the row's attention uniform on BOTH paths
+    (not zero) — grads must stay finite and match the XLA reference."""
+    q, k, v = _inputs(b=1, h=1, sq=8, skv=8, d=32, seed=8)
+    bias = make_attention_bias(jnp.zeros((1, 8)))
+    g_flash, g_ref = _grad_pair(q, k, v, bias)
+    for a, b in zip(g_flash, g_ref):
+        assert bool(jnp.all(jnp.isfinite(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_backward_remat_mode(monkeypatch):
+    """MMF_TPU_FLASH_BWD=remat routes the VJP through XLA recompute and
+    must produce the same gradients (and a real dbias)."""
+    q, k, v = _inputs(b=1, h=2, sq=64, skv=64, d=32, seed=9)
+    bias = make_attention_bias(
+        jnp.concatenate([jnp.ones((1, 50)), jnp.zeros((1, 14))], axis=1)
+    )
+    g_pallas, _ = _grad_pair(q, k, v, bias)
+    monkeypatch.setenv("MMF_TPU_FLASH_BWD", "remat")
+    g_remat, _ = _grad_pair(q, k, v, bias)
+    for a, b in zip(g_pallas, g_remat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
