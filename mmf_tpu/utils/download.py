@@ -84,6 +84,46 @@ class DownloadableFile:
                        delete_original=self._delete_original)
 
 
+def check_header(url: str, from_google: bool = False,
+                 timeout: float = 10.0) -> None:
+    """HEAD-resolve ``url`` and assert it answers 200 (reference
+    download.py:check_header — the zoo-URL CI gate). Google-Drive URLs
+    are probed with a ranged GET since Drive rejects HEAD."""
+    import urllib.request
+
+    if from_google:
+        req = urllib.request.Request(
+            url, headers={"Range": "bytes=0-0",
+                          "User-Agent": "mmf_tpu-zoo-check"}
+        )
+    else:
+        req = urllib.request.Request(
+            url, method="HEAD",
+            headers={"User-Agent": "mmf_tpu-zoo-check"},
+        )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        status = getattr(resp, "status", resp.getcode())
+        assert status in (200, 206), (
+            f"url {url} answered HTTP {status}"
+        )
+
+
+def has_network(timeout: float = 5.0) -> bool:
+    """True when this host can resolve + TCP-connect to the MMF CDN —
+    the gate tests/config/test_zoo_urls.py skips on (this image has no
+    egress; a plain socket probe avoids conflating HTTP-level errors
+    with connectivity)."""
+    import socket
+
+    try:
+        with socket.create_connection(
+            ("dl.fbaipublicfiles.com", 443), timeout=timeout
+        ):
+            return True
+    except OSError:
+        return False
+
+
 def download(url: str, path: str, fname: str, redownload: bool = False) -> bool:
     """Fetch a url to path/fname. This image has no egress: surface a
     precise, actionable error instead of hanging."""
