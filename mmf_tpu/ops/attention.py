@@ -111,60 +111,71 @@ def mha_reference(
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_out_ref, l_out_ref,
-                  *, scale, block_k, kv_len):
-    """One (batch, head, q-block) program: online softmax over kv blocks.
+                  acc_ref, m_ref, l_ref, *, scale, num_kv_blocks):
+    """One (batch, head, q-block, kv-block) grid step of the online
+    softmax. The kv dimension is the innermost ("arbitrary") grid axis,
+    so Pallas double-buffers the K/V block DMAs against compute; the
+    running (acc, m, l) state lives in VMEM scratch that persists
+    across the kv steps of one q block.
 
-    q_ref: [block_q, d]; k_ref/v_ref: [Skv_pad, d]; bias_ref: [block_q,
-    Skv_pad] or None; o_ref: [block_q, d]; m_out_ref/l_out_ref:
-    [block_q] row max / normalizer for the backward pass (None on
-    inference-only calls). Saved SEPARATELY, not as lse = m + log(l):
-    at the framework's -0.7*f32max mask constant, |m| for a fully
-    masked row is ~2.4e38 where one ulp is ~2e31 — the +log(l) term
-    would be absorbed and the backward's probabilities would come out
-    unnormalized.
+    q_ref: [block_q, d]; k_ref/v_ref: [block_k, d]; bias_ref:
+    [block_q | 1, block_k] or None; o_ref: [block_q, d];
+    m_out_ref/l_out_ref: [block_q, 128] lane-replicated row max /
+    normalizer for the backward (None on inference-only calls) — saved
+    SEPARATELY, not as lse = m + log(l): at the framework's
+    -0.7*f32max mask constant, |m| for a fully masked row is ~2.4e38
+    where one ulp is ~2e31, so the +log(l) term would be absorbed and
+    the backward's probabilities would come out unnormalized.
     """
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
     q = q_ref[...].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    num_kv_blocks = kv_len // block_k
+    kb = k_ref[...].astype(jnp.float32)
+    vb = v_ref[...].astype(jnp.float32)
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        kv_start = i * block_k
-        kb = k_ref[pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(kv_start, block_k), :].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, block_k]
+    if bias_ref is not None:
+        s = s + bias_ref[...].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
-        if bias_ref is not None:
-            s = s + bias_ref[:, pl.ds(kv_start, block_k)].astype(jnp.float32)
+    m_prev = m_ref[...][:, :1]  # [bq, 1]
+    l_prev = l_ref[...][:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, vb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return acc, m_new, l_new
-
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (acc0, m0, l0))
-
-    if m_out_ref is not None:
-        # l == 0 (true -inf masking everywhere in a row): park m at 0 /
-        # l at 1 so the backward's exp(s - m)/l is exactly 0 (s = -inf)
-        m_out_ref[...] = jnp.where(l == 0.0, 0.0, m)[:, 0]
-        l_out_ref[...] = jnp.where(l == 0.0, 1.0, l)[:, 0]
-
-    # rows that are fully masked (all -inf) produce l == 0; emit zeros
-    l = jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finish():
+        l = l_ref[...][:, :1]
+        if m_out_ref is not None:
+            # l == 0 (true -inf masking across a whole row): park m at
+            # 0 / l at 1 so the backward's exp(s - m)/l is exactly 0
+            m_out_ref[...] = jnp.broadcast_to(
+                jnp.where(l == 0.0, 0.0, m_ref[...][:, :1]),
+                m_out_ref.shape,
+            )
+            l_out_ref[...] = jnp.broadcast_to(
+                jnp.where(l == 0.0, 1.0, l), l_out_ref.shape
+            )
+        # fully masked rows (l == 0) emit zeros
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[...] = (acc_ref[...] / l).astype(o_ref.dtype)
 
 
 def _pad_inputs(q, k, v, bias, block_q, block_k):
@@ -175,10 +186,13 @@ def _pad_inputs(q, k, v, bias, block_q, block_k):
     b, h, sq, d = q.shape
     skv = k.shape[2]
 
-    # Mosaic tiling: the lane (last) dim must be 128-aligned. BERT-family
-    # head_dim is 64; zero-pad to 128 (zero q/k columns contribute nothing
-    # to scores, zero v columns are sliced off the output).
-    d_pad = _round_up(d, 128)
+    # Mosaic tiling: a block's lane (last) dim must be 128-divisible OR
+    # equal to the full array dim. head_dim is its own full dim in every
+    # spec here, so 64 passes through unpadded (Mosaic pads registers
+    # internally at the same MXU utilization) — zero-padding to 128
+    # would DOUBLE every gemm's FLOPs and HBM traffic (measured 2x
+    # kernel time at S=512-2048). Only truly irregular head dims pad.
+    d_pad = d if d % 8 == 0 else _round_up(d, 128)
     if d_pad != d:
         dpad = ((0, 0), (0, 0), (0, 0), (0, d_pad - d))
         q = jnp.pad(q, dpad)
@@ -208,14 +222,16 @@ def _pad_inputs(q, k, v, bias, block_q, block_k):
             constant_values=float("-inf"),
         )
     if bias is not None:
-        # broadcast to concrete [B, Hb, Sq_pad, Skv_pad] (Hb in {1, h})
+        # broadcast to concrete [B, Hb, Sq_b, Skv_pad] (Hb in {1, h}).
+        # A padding-mask bias keeps Sq_b = 1 — materializing the q dim
+        # would stream a full [Sq, Skv] f32 bias from HBM per head
+        # (268 MB at B=16, S=2048), swamping the kernel; the row
+        # broadcasts inside the block instead.
         hb = bias.shape[1]
         bias = jnp.broadcast_to(
             bias.astype(jnp.float32), (b, hb, bias.shape[2], skv_pad)
         )
-        if bias.shape[2] == 1:
-            bias = jnp.broadcast_to(bias, (b, hb, sq_pad, skv_pad))
-        elif bias.shape[2] != sq_pad:
+        if bias.shape[2] not in (1, sq_pad):
             bias = jnp.pad(
                 bias, ((0, 0), (0, 0), (0, sq_pad - bias.shape[2]), (0, 0))
             )
@@ -223,56 +239,82 @@ def _pad_inputs(q, k, v, bias, block_q, block_k):
     return q, k, v, bias, geom
 
 
+def _grid_params(interpret):
+    """compiler_params pinning the kv axis as sequential ("arbitrary")
+    and the rest parallel — lets Mosaic pipeline K/V block DMAs while
+    keeping the scratch carry legal. Interpret mode takes none."""
+    if interpret or pltpu is None:
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        )
+    }
+
+
 def _flash_forward(q, k, v, bias, scale, block_q, block_k, interpret,
                    with_lse=False):
     q, k, v, bias, geom = _pad_inputs(q, k, v, bias, block_q, block_k)
     b, h, sq, skv, d, d_pad, sq_pad, skv_pad, block_q, block_k = geom
 
-    grid = (b, h, sq_pad // block_q)
+    num_kv = skv_pad // block_k
+    grid = (b, h, sq_pad // block_q, num_kv)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=block_k, kv_len=skv_pad
+        _flash_kernel, scale=scale, num_kv_blocks=num_kv
     )
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0))
-    k_spec = pl.BlockSpec((1, 1, skv_pad, d_pad), lambda bi, hi, qi: (bi, hi, 0, 0))
-    in_specs = [q_spec, k_spec, k_spec]
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d_pad), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d_pad), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
+    )
+    in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, k, v]
-    out_specs = [
-        pl.BlockSpec((1, 1, block_q, d_pad), lambda bi, hi, qi: (bi, hi, qi, 0))
-    ]
+    out_specs = [q_spec]
     out_shapes = [jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype)]
     if with_lse:
-        row_spec = pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi))
-        row_shape = jax.ShapeDtypeStruct((b, h, sq_pad), jnp.float32)
+        row_spec = pl.BlockSpec(
+            (1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        )
+        row_shape = jax.ShapeDtypeStruct((b, h, sq_pad, 128), jnp.float32)
         out_specs += [row_spec, row_spec]
         out_shapes += [row_shape, row_shape]
+    scratch = [
+        pltpu.VMEM((block_q, d_pad), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
 
     def _row_refs(refs):
         if with_lse:
             return refs[1].at[0, 0], refs[2].at[0, 0]
         return None, None
 
+    n_out = 3 if with_lse else 1
     if bias is not None:
         hb = bias.shape[1]
-        if hb == 1:
-            b_spec = pl.BlockSpec(
-                (1, 1, block_q, skv_pad), lambda bi, hi, qi: (bi, 0, qi, 0)
-            )
-        else:
-            b_spec = pl.BlockSpec(
-                (1, 1, block_q, skv_pad), lambda bi, hi, qi: (bi, hi, qi, 0)
-            )
+        sq_b = bias.shape[2]  # 1 (padding-mask row) or sq_pad (full)
+        bq_b = 1 if sq_b == 1 else block_q
+        b_spec = pl.BlockSpec(
+            (1, 1, bq_b, block_k),
+            lambda bi, hi, qi, ki: (
+                bi, hi if hb > 1 else 0, 0 if sq_b == 1 else qi, ki
+            ),
+        )
         in_specs.append(b_spec)
         args.append(bias)
-        wrapped = lambda qr, kr, vr, br, *out_refs: kernel(
-            qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], br.at[0, 0],
-            out_refs[0].at[0, 0], *_row_refs(out_refs),
-        )
+
+        def wrapped(qr, kr, vr, br, *rest):
+            out_refs, scr = rest[:n_out], rest[n_out:]
+            kernel(qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], br.at[0, 0],
+                   out_refs[0].at[0, 0], *_row_refs(out_refs), *scr)
     else:
-        wrapped = lambda qr, kr, vr, *out_refs: kernel(
-            qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], None,
-            out_refs[0].at[0, 0], *_row_refs(out_refs),
-        )
+        def wrapped(qr, kr, vr, *rest):
+            out_refs, scr = rest[:n_out], rest[n_out:]
+            kernel(qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], None,
+                   out_refs[0].at[0, 0], *_row_refs(out_refs), *scr)
 
     outs = pl.pallas_call(
         wrapped,
@@ -280,7 +322,9 @@ def _flash_forward(q, k, v, bias, scale, block_q, block_k, interpret,
         in_specs=in_specs,
         out_specs=out_specs if with_lse else out_specs[0],
         out_shape=out_shapes if with_lse else out_shapes[0],
+        scratch_shapes=scratch,
         interpret=interpret,
+        **_grid_params(interpret),
     )(*args)
 
     out, m, l = (outs if with_lse else (outs, None, None))
@@ -295,96 +339,102 @@ def _flash_forward(q, k, v, bias, scale, block_q, block_k, interpret,
 # Pallas flash backward: blockwise dq / dk / dv
 # ---------------------------------------------------------------------------
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, m_ref,
-                         l_ref, delta_ref, dq_ref, *, scale, block_k,
-                         kv_len):
-    """One (batch, head, q-block) program: dq = scale * sum_k ds @ K.
+                         l_ref, delta_ref, dq_ref, acc_ref, *, scale,
+                         num_kv_blocks):
+    """One (batch, head, q-block, kv-block) grid step:
+    dq = scale * sum_k ds @ K, accumulated in VMEM scratch over the
+    innermost kv axis.
 
-    q/do/dq: [block_q, d]; k/v: [Skv_pad, d]; bias: [block_q, Skv_pad];
-    m/l/delta: [block_q]. p = exp(s - m) / l; ds = p * (dO V^T - delta).
+    q/do/dq: [block_q, d]; k/v: [block_k, d]; bias: [block_q | 1,
+    block_k]; m/l/delta: [block_q, 128] lane-replicated.
+    p = exp(s - m) / l; ds = p * (dO V^T - delta).
     """
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[...].astype(jnp.float32)
     do = do_ref[...].astype(jnp.float32)
-    m = m_ref[...][:, None]  # [bq, 1]
-    linv = 1.0 / l_ref[...][:, None]
-    delta = delta_ref[...][:, None]
-    block_q, d = q.shape
-    num_kv_blocks = kv_len // block_k
+    m = m_ref[...][:, :1]  # [bq, 1]
+    linv = 1.0 / l_ref[...][:, :1]
+    delta = delta_ref[...][:, :1]
+    kb = k_ref[...].astype(jnp.float32)
+    vb = v_ref[...].astype(jnp.float32)
 
-    def body(i, dq):
-        kv_start = i * block_k
-        kb = k_ref[pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        vb = v_ref[pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q * scale, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if bias_ref is not None:
-            s = s + bias_ref[:, pl.ds(kv_start, block_k)].astype(jnp.float32)
-        p = jnp.exp(s - m) * linv
-        dp = jax.lax.dot_general(
-            do, vb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(
-            ds, kb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dq = jax.lax.fori_loop(
-        0, num_kv_blocks, body, jnp.zeros((block_q, d), jnp.float32)
+    s = jax.lax.dot_general(
+        q * scale, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+    if bias_ref is not None:
+        s = s + bias_ref[...].astype(jnp.float32)
+    p = jnp.exp(s - m) * linv
+    dp = jax.lax.dot_general(
+        do, vb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    acc_ref[...] += jax.lax.dot_general(
+        ds, kb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == num_kv_blocks - 1)
+    def _finish():
+        dq_ref[...] = (acc_ref[...] * scale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, m_ref,
-                          l_ref, delta_ref, dk_ref, dv_ref, *, scale,
-                          block_q, q_len):
-    """One (batch, head, kv-block) program:
-    dv = sum_q P^T dO;  dk = scale * sum_q ds^T Q.
+                          l_ref, delta_ref, dk_ref, dv_ref, dk_acc_ref,
+                          dv_acc_ref, *, scale, num_q_blocks):
+    """One (batch, head, kv-block, q-block) grid step:
+    dv = sum_q P^T dO;  dk = scale * sum_q ds^T Q — accumulated in VMEM
+    scratch over the innermost q axis.
 
-    k/v/dk/dv: [block_k, d]; q/do: [Sq_pad, d]; bias: [Sq_pad, block_k];
-    m/l/delta: [Sq_pad].
+    k/v/dk/dv: [block_k, d]; q/do: [block_q, d]; bias: [block_q | 1,
+    block_k]; m/l/delta: [block_q, 128] lane-replicated.
     """
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
     kb = k_ref[...].astype(jnp.float32)
     vb = v_ref[...].astype(jnp.float32)
-    block_k, d = kb.shape
-    num_q_blocks = q_len // block_q
+    qb = q_ref[...].astype(jnp.float32)
+    dob = do_ref[...].astype(jnp.float32)
+    m = m_ref[...][:, :1]
+    linv = 1.0 / l_ref[...][:, :1]
+    delta = delta_ref[...][:, :1]
 
-    def body(i, carry):
-        dk, dv = carry
-        q_start = i * block_q
-        qb = q_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
-        dob = do_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
-        m = m_ref[pl.ds(q_start, block_q)][:, None]
-        linv = 1.0 / l_ref[pl.ds(q_start, block_q)][:, None]
-        delta = delta_ref[pl.ds(q_start, block_q)][:, None]
-        s = jax.lax.dot_general(
-            qb * scale, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
-        if bias_ref is not None:
-            s = s + bias_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
-        p = jnp.exp(s - m) * linv
-        dv = dv + jax.lax.dot_general(
-            p, dob, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_k, d]
-        dp = jax.lax.dot_general(
-            dob, vb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(
-            ds, qb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [block_k, d]
-        return dk, dv
+    s = jax.lax.dot_general(
+        qb * scale, kb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_q, block_k]
+    if bias_ref is not None:
+        s = s + bias_ref[...].astype(jnp.float32)
+    p = jnp.exp(s - m) * linv
+    dv_acc_ref[...] += jax.lax.dot_general(
+        p, dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_k, d]
+    dp = jax.lax.dot_general(
+        dob, vb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds, qb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_k, d]
 
-    zero = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (zero, zero))
-    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
-    dv_ref[...] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == num_q_blocks - 1)
+    def _finish():
+        dk_ref[...] = (dk_acc_ref[...] * scale).astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc_ref[...].astype(dv_ref.dtype)
 
 
 def _flash_backward(q, k, v, bias, out, m, l, g, scale, block_q, block_k,
@@ -408,96 +458,119 @@ def _flash_backward(q, k, v, bias, out, m, l, g, scale, block_q, block_k,
                         (0, d_pad - g.shape[3])))
     if delta.shape[2] != sq_pad:
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, sq_pad - delta.shape[2])))
+    # row stats ride in the same lane-replicated [.., 128] layout as the
+    # forward's m/l outputs (Mosaic tiling); XLA materializes the
+    # broadcast once
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
     # m and l come back from the forward already at sq_pad length; pad
     # rows carry l from the kernel (>= 1 wherever bias kept any column,
     # 1 via the masked-row sentinel otherwise) so 1/l is always finite
 
-    d_spec = pl.BlockSpec((1, 1, block_q, d_pad),
-                          lambda bi, hi, qi: (bi, hi, qi, 0))
-    full_q_spec = pl.BlockSpec((1, 1, sq_pad, d_pad),
-                               lambda bi, hi, ki: (bi, hi, 0, 0))
-    kv_spec = pl.BlockSpec((1, 1, skv_pad, d_pad),
-                           lambda bi, hi, qi: (bi, hi, 0, 0))
-    kv_blk_spec = pl.BlockSpec((1, 1, block_k, d_pad),
-                               lambda bi, hi, ki: (bi, hi, ki, 0))
-    lse_q_spec = pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, hi, qi))
-    lse_full_spec = pl.BlockSpec((1, 1, sq_pad), lambda bi, hi, ki: (bi, hi, 0))
-
+    num_q = sq_pad // block_q
+    num_kv = skv_pad // block_k
     hb = bias.shape[1] if bias is not None else 1
+    sq_b = bias.shape[2] if bias is not None else 0
+    bias_rows = sq_b == 1  # padding-mask row kept un-broadcast over q
 
-    # ---- dq: grid over q blocks -------------------------------------
-    dq_kernel = functools.partial(
-        _flash_bwd_dq_kernel, scale=scale, block_k=block_k, kv_len=skv_pad
+    # grid (b, h, qi, ki): q-indexed blocks constant over the inner axis
+    q_spec = pl.BlockSpec((1, 1, block_q, d_pad),
+                          lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d_pad),
+                           lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    row_q_spec = pl.BlockSpec(
+        (1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
     )
-    in_specs = [d_spec, kv_spec, kv_spec]
+    # grid (b, h, ki, qi) for the dkv pass: axes 2/3 swap roles
+    q_spec_T = pl.BlockSpec((1, 1, block_q, d_pad),
+                            lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    kv_spec_T = pl.BlockSpec((1, 1, block_k, d_pad),
+                             lambda bi, hi, ki, qi: (bi, hi, ki, 0))
+    row_q_spec_T = pl.BlockSpec(
+        (1, 1, block_q, 128), lambda bi, hi, ki, qi: (bi, hi, qi, 0)
+    )
+
+    # ---- dq: scratch-accumulated over the inner kv axis ---------------
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, num_kv_blocks=num_kv
+    )
+    in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, k, v]
     if bias is not None:
         in_specs.append(pl.BlockSpec(
-            (1, 1, block_q, skv_pad),
-            (lambda bi, hi, qi: (bi, hi, qi, 0)) if hb > 1
-            else (lambda bi, hi, qi: (bi, 0, qi, 0)),
+            (1, 1, 1 if bias_rows else block_q, block_k),
+            lambda bi, hi, qi, ki: (
+                bi, hi if hb > 1 else 0, 0 if bias_rows else qi, ki
+            ),
         ))
         args.append(bias)
-    in_specs += [d_spec, lse_q_spec, lse_q_spec, lse_q_spec]
+    in_specs += [q_spec, row_q_spec, row_q_spec, row_q_spec]
     args += [g, m, l, delta]
 
     def dq_wrapped(qr, kr, vr, *rest):
         if bias is not None:
-            br, dor, mr, lr, deltar, dqr = rest
+            br, dor, mr, lr, deltar, dqr, acc = rest
             br = br.at[0, 0]
         else:
-            dor, mr, lr, deltar, dqr = rest
+            dor, mr, lr, deltar, dqr, acc = rest
             br = None
         dq_kernel(qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], br,
                   dor.at[0, 0], mr.at[0, 0], lr.at[0, 0],
-                  deltar.at[0, 0], dqr.at[0, 0])
+                  deltar.at[0, 0], dqr.at[0, 0], acc)
 
     dq = pl.pallas_call(
         dq_wrapped,
-        grid=(b, h, sq_pad // block_q),
+        grid=(b, h, num_q, num_kv),
         in_specs=in_specs,
-        out_specs=d_spec,
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
         interpret=interpret,
+        **_grid_params(interpret),
     )(*args)
 
-    # ---- dk, dv: grid over kv blocks --------------------------------
+    # ---- dk, dv: scratch-accumulated over the inner q axis ------------
     dkv_kernel = functools.partial(
-        _flash_bwd_dkv_kernel, scale=scale, block_q=block_q, q_len=sq_pad
+        _flash_bwd_dkv_kernel, scale=scale, num_q_blocks=num_q
     )
-    in_specs = [full_q_spec, kv_blk_spec, kv_blk_spec]
+    in_specs = [q_spec_T, kv_spec_T, kv_spec_T]
     args = [q, k, v]
     if bias is not None:
         in_specs.append(pl.BlockSpec(
-            (1, 1, sq_pad, block_k),
-            (lambda bi, hi, ki: (bi, hi, 0, ki)) if hb > 1
-            else (lambda bi, hi, ki: (bi, 0, 0, ki)),
+            (1, 1, 1 if bias_rows else block_q, block_k),
+            lambda bi, hi, ki, qi: (
+                bi, hi if hb > 1 else 0, 0 if bias_rows else qi, ki
+            ),
         ))
         args.append(bias)
-    in_specs += [full_q_spec, lse_full_spec, lse_full_spec, lse_full_spec]
+    in_specs += [q_spec_T, row_q_spec_T, row_q_spec_T, row_q_spec_T]
     args += [g, m, l, delta]
 
     def dkv_wrapped(qr, kr, vr, *rest):
         if bias is not None:
-            br, dor, mr, lr, deltar, dkr, dvr = rest
+            br, dor, mr, lr, deltar, dkr, dvr, dka, dva = rest
             br = br.at[0, 0]
         else:
-            dor, mr, lr, deltar, dkr, dvr = rest
+            dor, mr, lr, deltar, dkr, dvr, dka, dva = rest
             br = None
         dkv_kernel(qr.at[0, 0], kr.at[0, 0], vr.at[0, 0], br,
                    dor.at[0, 0], mr.at[0, 0], lr.at[0, 0],
-                   deltar.at[0, 0], dkr.at[0, 0], dvr.at[0, 0])
+                   deltar.at[0, 0], dkr.at[0, 0], dvr.at[0, 0], dka, dva)
 
     dk, dv = pl.pallas_call(
         dkv_wrapped,
-        grid=(b, h, skv_pad // block_k),
+        grid=(b, h, num_kv, num_q),
         in_specs=in_specs,
-        out_specs=[kv_blk_spec, kv_blk_spec],
+        out_specs=[kv_spec_T, kv_spec_T],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, h, skv_pad, d_pad), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
         interpret=interpret,
+        **_grid_params(interpret),
     )(*args)
 
     dq = dq[:, :, :sq, :].astype(orig_dtypes[0])
@@ -573,11 +646,17 @@ def flash_attention(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Flash attention with [B,H,S,D] layout and optional additive bias."""
+    """Flash attention with [B,H,S,D] layout and optional additive bias.
+
+    Default blocks 512x1024 (auto-clamped to the padded seq lens):
+    measured on v5e (B=16,H=12,D=64,bf16, S=2048) the block sweep runs
+    128x128 29.5ms -> 256x512 8.5ms -> 512x1024 4.3ms -> 512x2048 3.6ms
+    forward — the MXU wants deep contractions and few grid steps; tiny
+    blocks are latency-bound. See BENCH_NOTES "Flash crossover"."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret)
@@ -593,20 +672,28 @@ def _on_tpu() -> bool:
         return False
 
 
+# Per-seq-len crossover, measured on v5e (tools/benchmarks/
+# bench_flash_bwd.py, B=16,H=12,D=64, bf16, 512x1024+ blocks):
+#   S=228/256: XLA 639us fwd vs pallas 1514 — XLA wins (fused attention
+#              near-roofline at BERT scale, pallas grid overhead shows)
+#   S=512:  fwd 511 vs 596 pallas ahead; fwd+bwd 1721 vs 1588 ~par
+#   S=1024: fwd 1343 vs 2432, fwd+bwd 4567 vs 7826 — pallas 1.7x
+#   S=2048: fwd 3645 vs 10278, fwd+bwd 13390 vs 30434 — pallas 2.3-2.8x
+# plus O(S) memory vs XLA's materialized [B,H,S,S] probs. The auto
+# default switches on max seq len; MMF_TPU_ATTENTION=pallas|xla pins.
+PALLAS_MIN_SEQ = 512
+
+
 @functools.lru_cache(maxsize=1)
 def default_impl() -> str:
-    """Measured on v5e (B=32,H=12,S=228,D=64, bf16): XLA fused attention
-    ~580us/call vs this flash kernel ~1.7ms — at BERT-scale seq lens the
-    score matrix is tiny and XLA's fusion is already near-roofline, while
-    the pallas grid overhead dominates. Default to XLA; flash is the right
-    tool once seq lens grow (long-context stretch goal, SURVEY.md §5) or
-    via MMF_TPU_ATTENTION=pallas."""
+    """"auto" (seq-len crossover, see PALLAS_MIN_SEQ) unless pinned via
+    MMF_TPU_ATTENTION=pallas|xla|pallas_interpret."""
     import os
 
     env = os.environ.get("MMF_TPU_ATTENTION", "")
     if env in ("pallas", "xla", "pallas_interpret"):
         return env
-    return "xla"
+    return "auto"
 
 
 def dot_product_attention(
@@ -621,13 +708,19 @@ def dot_product_attention(
 ) -> jax.Array:
     """Framework-wide attention entry point. [B,H,S,D] layout.
 
-    impl: None (auto), "pallas", "pallas_interpret" (tests), or "xla".
+    impl: None (auto: XLA below PALLAS_MIN_SEQ, the Pallas flash kernel
+    at/above — the measured v5e crossover), "pallas",
+    "pallas_interpret" (tests), or "xla".
     dropout_rate/dropout_rng: attention-probs dropout (train only); the
     flash kernel has no probs to drop, so active dropout always routes
     through the XLA path.
     """
     if impl is None:
         impl = default_impl()
+    if impl == "auto":
+        on_tpu = _on_tpu()
+        long_seq = max(q.shape[2], k.shape[2]) >= PALLAS_MIN_SEQ
+        impl = "pallas" if (on_tpu and long_seq) else "xla"
     if dropout_rate > 0.0 and dropout_rng is not None:
         return mha_reference(q, k, v, bias, scale, dropout_rate, dropout_rng)
     if impl == "xla":

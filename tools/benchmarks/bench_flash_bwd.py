@@ -17,42 +17,52 @@ import time
 import numpy as np
 
 
-def _time_fn(fn, *args, repeats=5, inner=20):
-    """Best-of-repeats of ``inner`` chained calls inside one jit (scalar
-    fetch = device fence; amortizes the ~25 ms tunnel overhead)."""
+def _time_fn(fn, *args, repeats=4, n1=20, n2=220):
+    """Two-point marginal: time n1- and n2-iteration scans and take
+    (t2 - t1) / (n2 - n1) — isolates device time from the ~25 ms fixed
+    host<->device tunnel overhead per call (BENCH_NOTES methodology)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def many(*a):
+    @functools.partial(jax.jit, static_argnums=0)
+    def many(n, *a):
         def body(c, i):
             out = fn(*a, salt=i * 1e-6 + c * 0)
             return c + out, None
 
         c, _ = jax.lax.scan(
             body, jnp.zeros((), jnp.float32),
-            jnp.arange(inner, dtype=jnp.float32),
+            jnp.arange(n, dtype=jnp.float32),
         )
         return c
 
-    float(many(*args))  # compile
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(many(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best / inner
+    def best_of(n):
+        float(many(n, *args))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(many(n, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (best_of(n2) - best_of(n1)) / (n2 - n1)
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--heads", type=int, default=12)
     parser.add_argument("--head-dim", type=int, default=64)
     parser.add_argument("--seq-lens", type=int, nargs="+",
                         default=[256, 512, 1024, 2048])
+    parser.add_argument("--block-q", type=int, default=128)
+    parser.add_argument("--block-k", type=int, default=128)
+    parser.add_argument("--impls", nargs="+",
+                        default=["xla", "pallas"])
     args = parser.parse_args()
 
     import jax
@@ -74,10 +84,14 @@ def main():
         mask[:, -s // 8:] = 0.0
         bias = make_attention_bias(jnp.asarray(mask))
 
-        for impl, attn in (
-            ("xla", mha_reference),
-            ("pallas", lambda *a, **kw: flash_attention(*a, **kw)),
-        ):
+        impl_map = {
+            "xla": mha_reference,
+            "pallas": lambda *a, **kw: flash_attention(
+                *a, block_q=args.block_q, block_k=args.block_k, **kw
+            ),
+        }
+        for impl in args.impls:
+            attn = impl_map[impl]
             def fwd(q, k, v, salt=0.0):
                 out = attn(q + salt, k, v, bias)
                 return jnp.sum(out.astype(jnp.float32))
@@ -92,6 +106,7 @@ def main():
             t_fb = _time_fn(fwdbwd, q, k, v)
             print(json.dumps({
                 "seq_len": s, "impl": impl, "dtype": args.dtype,
+                "block": [args.block_q, args.block_k],
                 "fwd_us": round(t_f * 1e6, 1),
                 "fwd_bwd_us": round(t_fb * 1e6, 1),
                 "bwd_over_fwd": round((t_fb - t_f) / max(t_f, 1e-9), 2),
