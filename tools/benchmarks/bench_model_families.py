@@ -25,6 +25,13 @@ def _measure(model, variables, batch, meta, iters=50, repeats=3):
     import jax
     import jax.numpy as jnp
 
+    # Batch MUST be device-resident before timing: a numpy batch is
+    # re-uploaded through the host<->device tunnel (~35 MB/s) on every
+    # timed call, which understated the two-stream models by ~2.5x
+    # (ViLBERT measured 1375 with a numpy batch vs 3440 device-resident;
+    # prof_vilbert_full.py). bench.py was always immune (jnp batch).
+    batch = jax.device_put(batch, jax.devices()[0])
+
     moving_key = ("image_feature_0" if "image_feature_0" in batch
                   else "image")
 
