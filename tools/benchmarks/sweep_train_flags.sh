@@ -1,0 +1,24 @@
+#!/bin/bash
+# Serialized train-throughput flag/batch sweep (ONE job on the chip at a
+# time — concurrent tunnel jobs contend and corrupt numbers; see
+# BENCH_NOTES.md "Cross-session variance"). Appends JSON lines to $OUT.
+set -u
+cd "$(dirname "$0")/../.."
+OUT=${OUT:-/tmp/train_sweep.jsonl}
+: > "$OUT"
+
+run() {
+  local tag="$1"; shift
+  echo "--- $tag" >> "$OUT"
+  timeout 540 python tools/benchmarks/bench_train.py "$@" 2>/dev/null \
+    | tail -1 >> "$OUT"
+}
+
+run b32_clean --batch_size 32 --iters 16
+run b64_clean --batch_size 64 --iters 16
+XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" \
+  run b64_lhs --batch_size 64 --iters 16
+LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536" \
+  run b64_vmem64 --batch_size 64 --iters 16
+run b64_accum2 --batch_size 32 --iters 16 --accum 2
+echo DONE >> "$OUT"
