@@ -685,6 +685,16 @@ PALLAS_MIN_SEQ = 512
 
 
 @functools.lru_cache(maxsize=1)
+def _pallas_min_seq() -> int:
+    """Crossover threshold for the auto dispatch; override with
+    MMF_TPU_PALLAS_MIN_SEQ (crossover table in BENCH_NOTES.md)."""
+    import os
+
+    env = os.environ.get("MMF_TPU_PALLAS_MIN_SEQ", "")
+    return int(env) if env else PALLAS_MIN_SEQ
+
+
+@functools.lru_cache(maxsize=1)
 def default_impl() -> str:
     """"auto" (seq-len crossover, see PALLAS_MIN_SEQ) unless pinned via
     MMF_TPU_ATTENTION=pallas|xla|pallas_interpret."""
@@ -719,7 +729,7 @@ def dot_product_attention(
         impl = default_impl()
     if impl == "auto":
         on_tpu = _on_tpu()
-        long_seq = max(q.shape[2], k.shape[2]) >= PALLAS_MIN_SEQ
+        long_seq = max(q.shape[2], k.shape[2]) >= _pallas_min_seq()
         impl = "pallas" if (on_tpu and long_seq) else "xla"
     if dropout_rate > 0.0 and dropout_rng is not None:
         return mha_reference(q, k, v, bias, scale, dropout_rate, dropout_rng)
