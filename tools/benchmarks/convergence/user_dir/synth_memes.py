@@ -21,7 +21,7 @@ from mmf_tpu.common.sample import Sample
 from mmf_tpu.datasets.base_dataset import BaseDataset
 from mmf_tpu.datasets.base_dataset_builder import BaseDatasetBuilder
 
-_SPLIT_BASE = {"train": 0, "val": 10_000, "test": 20_000}
+_SPLIT_BASE = {"train": 0, "val": 1_000_000, "test": 2_000_000}
 _SPLIT_LEN = {"train": 512, "val": 128, "test": 128}
 
 _CLS, _SEP = 101, 102
@@ -33,7 +33,15 @@ _IMG_HW = 128  # enough pixels for the resnet grid; keeps tunnel upload light
 class SynthMemes(BaseDataset):
     def __init__(self, config, dataset_type="train"):
         super().__init__("synth_memes", config, dataset_type)
-        self._len = int(self.config.get("num_samples", _SPLIT_LEN[dataset_type]))
+        # num_samples: int (all splits) or per-split mapping. The TPU
+        # demo sets train: 12800 = max_updates * batch_size, so every
+        # update sees FRESH samples (single pass) — a falling train loss
+        # then demonstrates the learned fusion rule generalizes, not
+        # memorization of a small fixed set.
+        ns = self.config.get("num_samples", None)
+        if ns is not None and not isinstance(ns, int):
+            ns = ns.get(dataset_type, None)
+        self._len = int(ns) if ns is not None else _SPLIT_LEN[dataset_type]
         self._base = _SPLIT_BASE[dataset_type]
 
     def __len__(self):
