@@ -691,7 +691,18 @@ def _pallas_min_seq() -> int:
     import os
 
     env = os.environ.get("MMF_TPU_PALLAS_MIN_SEQ", "")
-    return int(env) if env else PALLAS_MIN_SEQ
+    if not env:
+        return PALLAS_MIN_SEQ
+    try:
+        return int(env)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"MMF_TPU_PALLAS_MIN_SEQ={env!r} is not an integer; "
+            f"falling back to the default {PALLAS_MIN_SEQ}"
+        )
+        return PALLAS_MIN_SEQ
 
 
 @functools.lru_cache(maxsize=1)

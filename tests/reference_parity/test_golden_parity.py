@@ -343,9 +343,9 @@ VILBERT_TRUNK_KEY_MAP = {
 }
 
 
-def test_vilbert_full_trunk_parity(ref):
-    """Reference ViLBERTBase end-to-end: embeddings, interleaved two-stream
-    encoder with the co-attention schedule, ReLU poolers."""
+def _tiny_vilbert(ref):
+    """Shared tiny ViLBERTBase on both sides, weights converted
+    torch -> flax. Returns (tmodel, jmodel, converted_params, inputs)."""
     import jax
     import torch
     from transformers import BertConfig
@@ -402,17 +402,14 @@ def test_vilbert_full_trunk_parity(ref):
     image_attention_mask = np.ones((B, R), np.float32)
     image_attention_mask[0, -1] = 0
 
-    with torch.no_grad():
-        t_out = tmodel(
-            torch.from_numpy(input_ids),
-            torch.from_numpy(image_feature),
-            torch.from_numpy(image_location),
-            torch.from_numpy(token_type_ids),
-            torch.from_numpy(attention_mask),
-            torch.from_numpy(image_attention_mask),
-        )
-    t_seq_t, t_seq_v, t_pooled_t, t_pooled_v = t_out[:4]
-
+    inputs = {
+        "input_ids": input_ids,
+        "image_feature": image_feature,
+        "image_location": image_location,
+        "token_type_ids": token_type_ids,
+        "attention_mask": attention_mask,
+        "image_attention_mask": image_attention_mask,
+    }
     params = jmodel.init(
         jax.random.PRNGKey(0), input_ids, image_feature, image_location,
         token_type_ids, attention_mask, image_attention_mask,
@@ -422,10 +419,31 @@ def test_vilbert_full_trunk_parity(ref):
         sd, params["params"], key_map=VILBERT_TRUNK_KEY_MAP
     )
     assert stats["shape_mismatch"] == 0, stats
+    return tmodel, jmodel, converted, stats, inputs
+
+
+_VILBERT_INPUT_ORDER = (
+    "input_ids", "image_feature", "image_location", "token_type_ids",
+    "attention_mask", "image_attention_mask",
+)
+
+
+def test_vilbert_full_trunk_parity(ref):
+    """Reference ViLBERTBase end-to-end: embeddings, interleaved two-stream
+    encoder with the co-attention schedule, ReLU poolers."""
+    import torch
+
+    tmodel, jmodel, converted, _, inputs = _tiny_vilbert(ref)
+
+    with torch.no_grad():
+        t_out = tmodel(
+            *(torch.from_numpy(inputs[k]) for k in _VILBERT_INPUT_ORDER)
+        )
+    t_seq_t, t_seq_v, t_pooled_t, t_pooled_v = t_out[:4]
 
     j_txt, j_img, j_pooled_t, j_pooled_v = jmodel.apply(
-        {"params": converted}, input_ids, image_feature, image_location,
-        token_type_ids, attention_mask, image_attention_mask,
+        {"params": converted},
+        *(inputs[k] for k in _VILBERT_INPUT_ORDER),
     )
     np.testing.assert_allclose(np.asarray(j_txt), t_seq_t.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_img), t_seq_v.numpy(), atol=ATOL)
@@ -433,6 +451,84 @@ def test_vilbert_full_trunk_parity(ref):
                                atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_pooled_v), t_pooled_v.numpy(),
                                atol=ATOL)
+
+
+def test_vilbert_gradient_parity(ref):
+    """torch loss.backward() vs jax.grad through the full two-stream
+    trunk — the interleaved co-attention (BertBiAttention,
+    reference vilbert.py:347-475) backward is the riskiest path — under
+    the reference classification head's 'mul' fusion
+    (pooled_t * pooled_v -> classifier, vilbert.py:1319-1322) + logit_bce."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from mmf_tpu.modules.losses import LogitBinaryCrossEntropy
+    from tests.reference_parity.grad_utils import (
+        assert_grad_trees_match,
+        grad_dict_np,
+    )
+
+    tmodel, jmodel, converted, wstats, inputs = _tiny_vilbert(ref)
+
+    BI, N_LABELS = 24, 3
+    torch.manual_seed(44)
+    tcls = torch.nn.Linear(BI, N_LABELS)
+    rng = np.random.RandomState(44)
+    targets = rng.randint(0, 2, (2, N_LABELS)).astype(np.float32)
+
+    t_out = tmodel(
+        *(torch.from_numpy(inputs[k]) for k in _VILBERT_INPUT_ORDER)
+    )
+    t_pooled_t, t_pooled_v = t_out[2], t_out[3]
+    t_scores = tcls(t_pooled_t * t_pooled_v)
+    # reference losses.py:225 LogitBinaryCrossEntropy
+    t_loss = F.binary_cross_entropy_with_logits(
+        t_scores, torch.from_numpy(targets), reduction="mean"
+    ) * N_LABELS
+    t_loss.backward()
+
+    jcls = {
+        "kernel": tcls.weight.detach().numpy().T.copy(),
+        "bias": tcls.bias.detach().numpy().copy(),
+    }
+
+    def jax_loss(trunk_params, cls_params):
+        _, _, pooled_t, pooled_v = jmodel.apply(
+            {"params": trunk_params},
+            *(inputs[k] for k in _VILBERT_INPUT_ORDER),
+        )
+        scores = (pooled_t * pooled_v) @ cls_params["kernel"] \
+            + cls_params["bias"]
+        return LogitBinaryCrossEntropy()(
+            {"targets": jnp.asarray(targets)}, {"scores": scores}
+        )
+
+    j_loss, (g_trunk, g_cls) = jax.value_and_grad(
+        jax_loss, argnums=(0, 1)
+    )(converted, jcls)
+    np.testing.assert_allclose(
+        float(j_loss), float(t_loss.detach()), rtol=1e-5
+    )
+
+    # convert the torch grad dict through the SAME map as the weights —
+    # conversion is pure rename+transpose, hence valid for grads
+    g_converted, gstats = convert_torch_state_dict(
+        grad_dict_np(tmodel), g_trunk, key_map=VILBERT_TRUNK_KEY_MAP
+    )
+    assert gstats["matched"] == wstats["matched"]
+    assert gstats["shape_mismatch"] == 0
+    assert_grad_trees_match(g_trunk, g_converted, min_leaves=100)
+
+    np.testing.assert_allclose(
+        np.asarray(g_cls["kernel"]), tcls.weight.grad.numpy().T,
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_cls["bias"]), tcls.bias.grad.numpy(),
+        rtol=1e-4, atol=1e-7,
+    )
 
 
 MMBT_KEY_MAP = {
@@ -468,9 +564,10 @@ MMBT_KEY_MAP = {
 }
 
 
-def test_mmbt_trunk_parity(ref):
-    """Reference MMBTModel over a real HF BertModel with an identity modal
-    encoder (direct features) vs our MMBTTrunk with converted weights."""
+def _tiny_mmbt(ref):
+    """Shared tiny MMBTModel (real HF BertModel + identity modal encoder)
+    on both sides, weights converted torch -> flax. Returns
+    (tmodel, jmodel, converted_params, stats, inputs)."""
     import jax
     import torch
     from transformers import BertConfig, BertModel
@@ -512,16 +609,15 @@ def test_mmbt_trunk_parity(ref):
     token_type_ids = np.ones((B, S), np.int64)
     modal_token_type = np.zeros((B, 1), np.int64)
 
-    with torch.no_grad():
-        t_seq, t_pooled = tmodel(
-            torch.from_numpy(input_modal),
-            torch.from_numpy(input_ids),
-            modal_start_tokens=torch.from_numpy(start_tok),
-            modal_end_tokens=torch.from_numpy(end_tok),
-            attention_mask=torch.from_numpy(attention_mask),
-            token_type_ids=torch.from_numpy(token_type_ids),
-        )[:2]
-
+    inputs = {
+        "input_modal": input_modal,
+        "input_ids": input_ids,
+        "attention_mask": attention_mask,
+        "token_type_ids": token_type_ids,
+        "modal_token_type": modal_token_type,
+        "start_tok": start_tok,
+        "end_tok": end_tok,
+    }
     params = jmodel.init(
         jax.random.PRNGKey(0), input_modal, input_ids, attention_mask,
         token_type_ids, modal_token_type, start_tok, end_tok,
@@ -531,15 +627,122 @@ def test_mmbt_trunk_parity(ref):
         sd, params["params"], key_map=MMBT_KEY_MAP
     )
     assert stats["shape_mismatch"] == 0, stats
+    return tmodel, jmodel, converted, stats, inputs
+
+
+_MMBT_INPUT_ORDER = (
+    "input_modal", "input_ids", "attention_mask", "token_type_ids",
+    "modal_token_type", "start_tok", "end_tok",
+)
+
+
+def _mmbt_torch_forward(tmodel, inputs, no_grad=True):
+    import torch
+
+    ctx = torch.no_grad() if no_grad else _nullcontext()
+    with ctx:
+        return tmodel(
+            torch.from_numpy(inputs["input_modal"]),
+            torch.from_numpy(inputs["input_ids"]),
+            modal_start_tokens=torch.from_numpy(inputs["start_tok"]),
+            modal_end_tokens=torch.from_numpy(inputs["end_tok"]),
+            attention_mask=torch.from_numpy(inputs["attention_mask"]),
+            token_type_ids=torch.from_numpy(inputs["token_type_ids"]),
+        )[:2]
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+def test_mmbt_trunk_parity(ref):
+    """Reference MMBTModel over a real HF BertModel with an identity modal
+    encoder (direct features) vs our MMBTTrunk with converted weights."""
+    tmodel, jmodel, converted, _, inputs = _tiny_mmbt(ref)
+    M = inputs["input_modal"].shape[1]
+
+    t_seq, t_pooled = _mmbt_torch_forward(tmodel, inputs)
 
     j_seq, j_pooled, m_len = jmodel.apply(
-        {"params": converted}, input_modal, input_ids, attention_mask,
-        token_type_ids, modal_token_type, start_tok, end_tok,
+        {"params": converted}, *(inputs[k] for k in _MMBT_INPUT_ORDER)
     )
     assert m_len == M + 2  # start + features + end
     np.testing.assert_allclose(np.asarray(j_seq), t_seq.numpy(), atol=ATOL)
     np.testing.assert_allclose(np.asarray(j_pooled), t_pooled.numpy(),
                                atol=ATOL)
+
+
+def test_mmbt_gradient_parity(ref):
+    """torch loss.backward() vs jax.grad through the MMBT trunk (shared
+    token tables used by BOTH the modal and text spans — torch accumulates
+    through the shared Parameter, flax through the shared leaf) under the
+    hateful-memes head: Linear(pooled) -> cross_entropy
+    (reference mmbt.py:447-565 classification path)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from tests.reference_parity.grad_utils import (
+        assert_grad_trees_match,
+        grad_dict_np,
+    )
+
+    tmodel, jmodel, converted, wstats, inputs = _tiny_mmbt(ref)
+
+    H, N_LABELS = 24, 2
+    torch.manual_seed(45)
+    tcls = torch.nn.Linear(H, N_LABELS)
+    targets = np.array([1, 0], np.int64)
+
+    _, t_pooled = _mmbt_torch_forward(tmodel, inputs, no_grad=False)
+    t_scores = tcls(t_pooled)
+    # reference losses.py:595 CrossEntropyLoss (mean over batch)
+    t_loss = F.cross_entropy(t_scores, torch.from_numpy(targets))
+    t_loss.backward()
+
+    jcls = {
+        "kernel": tcls.weight.detach().numpy().T.copy(),
+        "bias": tcls.bias.detach().numpy().copy(),
+    }
+
+    def jax_loss(trunk_params, cls_params):
+        _, pooled, _ = jmodel.apply(
+            {"params": trunk_params},
+            *(inputs[k] for k in _MMBT_INPUT_ORDER),
+        )
+        scores = pooled @ cls_params["kernel"] + cls_params["bias"]
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        picked = jnp.take_along_axis(
+            logprobs, jnp.asarray(targets)[:, None], axis=-1
+        )
+        return -picked.mean()
+
+    j_loss, (g_trunk, g_cls) = jax.value_and_grad(
+        jax_loss, argnums=(0, 1)
+    )(converted, jcls)
+    np.testing.assert_allclose(
+        float(j_loss), float(t_loss.detach()), rtol=1e-5
+    )
+
+    g_converted, gstats = convert_torch_state_dict(
+        grad_dict_np(tmodel), g_trunk, key_map=MMBT_KEY_MAP
+    )
+    assert gstats["shape_mismatch"] == 0
+    assert_grad_trees_match(g_trunk, g_converted, min_leaves=35)
+
+    np.testing.assert_allclose(
+        np.asarray(g_cls["kernel"]), tcls.weight.grad.numpy().T,
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_cls["bias"]), tcls.bias.grad.numpy(),
+        rtol=1e-4, atol=1e-7,
+    )
 
 
 def test_vit_pre_ln_parity(ref):

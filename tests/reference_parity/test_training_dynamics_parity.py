@@ -41,11 +41,13 @@ def ref():
 
     shims.install()
     import mmf.models.m4c as ref_m4c
+    import mmf.models.mmbt as ref_mmbt
     import mmf.models.visual_bert as ref_visual_bert
     import mmf.utils.modeling as ref_modeling
 
     yield {
         "m4c": ref_m4c,
+        "mmbt": ref_mmbt,
         "visual_bert": ref_visual_bert,
         "modeling": ref_modeling,
     }
@@ -434,3 +436,120 @@ def test_visual_bert_trajectory_parity(ref):
             continue
         err = _rel_err(np.asarray(ours), np.asarray(flat_ref[path]))
         assert err < 1e-3, f"post-training weight mismatch {name}: {err:.2e}"
+
+
+def test_mmbt_trajectory_parity(ref):
+    """8 full optimizer updates of the MMBT trunk + linear head under
+    cross_entropy — AdamW + linear warmup + global-norm clip + BERT
+    weight-decay grouping — must produce the reference's per-step loss
+    sequence (second family with trajectory parity beyond visual_bert;
+    covers the shared-embedding accumulation path, mmbt.py:67-132)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    import torch.nn.functional as F
+
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.modules.schedulers import build_scheduler
+    from mmf_tpu.utils.modeling import bert_no_decay_mask
+    from tests.reference_parity.test_golden_parity import (
+        _MMBT_INPUT_ORDER,
+        MMBT_KEY_MAP,
+        _tiny_mmbt,
+    )
+
+    tmodel, jmodel, converted, _, inputs = _tiny_mmbt(
+        {"mmbt": ref["mmbt"]}
+    )
+
+    H, N_LABELS = 24, 2
+    torch.manual_seed(46)
+    tcls = torch.nn.Linear(H, N_LABELS)
+    targets = np.array([1, 0], np.int64)
+    jcls = {
+        "kernel": tcls.weight.detach().numpy().T.copy(),
+        "bias": tcls.bias.detach().numpy().copy(),
+    }
+
+    LR, EPS, WD, CLIP, WARMUP, TOTAL = 5e-4, 1e-8, 0.01, 0.25, 3, 8
+
+    # ---- torch reference loop ----
+    container = torch.nn.ModuleDict({"trunk": tmodel, "classifier": tcls})
+    groups = ref["modeling"].get_bert_configured_parameters(
+        container, weight_decay=WD
+    )
+    topt = torch.optim.AdamW(groups, lr=LR, eps=EPS)
+
+    def lr_lambda(step):  # reference warmup_linear semantics
+        if step < WARMUP:
+            return step / max(1, WARMUP)
+        return max(0.0, (TOTAL - step) / max(1, TOTAL - WARMUP))
+
+    tsched = torch.optim.lr_scheduler.LambdaLR(topt, lr_lambda)
+    t_in = dict(
+        input_modal=torch.from_numpy(inputs["input_modal"]),
+        input_ids=torch.from_numpy(inputs["input_ids"]),
+        modal_start_tokens=torch.from_numpy(inputs["start_tok"]),
+        modal_end_tokens=torch.from_numpy(inputs["end_tok"]),
+        attention_mask=torch.from_numpy(inputs["attention_mask"]),
+        token_type_ids=torch.from_numpy(inputs["token_type_ids"]),
+    )
+    t_targets = torch.from_numpy(targets)
+    t_losses = []
+    for _ in range(TOTAL):
+        topt.zero_grad()
+        _, pooled = tmodel(**t_in)[:2]
+        loss = F.cross_entropy(tcls(pooled), t_targets)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(container.parameters(), CLIP)
+        topt.step()
+        tsched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- our optax chain, built exactly as MMFTrainer.load_optimizer ----
+    config = {
+        "optimizer": {"type": "adam_w",
+                      "params": {"lr": LR, "eps": EPS, "weight_decay": WD}},
+        "scheduler": {"type": "warmup_linear",
+                      "params": {"num_warmup_steps": WARMUP,
+                                 "num_training_steps": TOTAL}},
+        "training": {"max_updates": TOTAL, "lr_scheduler": True},
+    }
+    tx = build_optimizer_transform(
+        config,
+        schedule_fn=build_scheduler(config),
+        max_grad_norm=CLIP,
+        weight_decay_mask=bert_no_decay_mask(),
+    )
+    params = {"trunk": converted, "classifier": jcls}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            _, pooled, _ = jmodel.apply(
+                {"params": p["trunk"]},
+                *(inputs[k] for k in _MMBT_INPUT_ORDER),
+            )
+            scores = pooled @ p["classifier"]["kernel"] \
+                + p["classifier"]["bias"]
+            logprobs = jax.nn.log_softmax(scores, axis=-1)
+            picked = jnp.take_along_axis(
+                logprobs, jnp.asarray(targets)[:, None], axis=-1
+            )
+            return -picked.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for _ in range(TOTAL):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
+        err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
+    )

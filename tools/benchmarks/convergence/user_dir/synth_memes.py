@@ -42,6 +42,12 @@ class SynthMemes(BaseDataset):
         if ns is not None and not isinstance(ns, int):
             ns = ns.get(dataset_type, None)
         self._len = int(ns) if ns is not None else _SPLIT_LEN[dataset_type]
+        # splits are disjoint only while each stays inside its 1e6-index
+        # stride (_SPLIT_BASE); fail loudly instead of leaking val->train
+        assert self._len <= 1_000_000, (
+            f"num_samples.{dataset_type}={self._len} exceeds the 1e6 "
+            "inter-split index stride; splits would overlap"
+        )
         self._base = _SPLIT_BASE[dataset_type]
 
     def __len__(self):

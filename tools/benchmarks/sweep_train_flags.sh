@@ -1,7 +1,9 @@
 #!/bin/bash
 # Serialized train-throughput flag/batch sweep (ONE job on the chip at a
 # time — concurrent tunnel jobs contend and corrupt numbers; see
-# BENCH_NOTES.md "Cross-session variance"). Appends JSON lines to $OUT.
+# BENCH_NOTES.md "Cross-session variance"). Starts $OUT fresh and writes
+# one JSON line per run, each preceded by "--- <tag>" and followed by
+# "exit=<status>" so timeouts/failures are distinguishable from results.
 set -u
 cd "$(dirname "$0")/../.."
 OUT=${OUT:-/tmp/train_sweep.jsonl}
@@ -12,6 +14,7 @@ run() {
   echo "--- $tag" >> "$OUT"
   timeout 540 python tools/benchmarks/bench_train.py "$@" 2>/dev/null \
     | tail -1 >> "$OUT"
+  echo "exit=$?" >> "$OUT"
 }
 
 run b32_clean --batch_size 32 --iters 16
