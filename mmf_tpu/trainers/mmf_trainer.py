@@ -303,8 +303,16 @@ class MMFTrainer(TrainerProfilingMixin, BaseTrainer):
             variables = self._pending_variables
             self._pending_variables = None
         else:
-            variables = self.model.init(
-                {"params": init_rng, "dropout": dropout_rng}, batch_in, False
+            # jit the init: eager flax init dispatches every RNG/shape op
+            # individually, which over a tunneled device (axon) costs a
+            # round-trip per op — tens of minutes for a 150-conv ResNet.
+            # One compiled executable brings that to seconds; XLA DCEs
+            # the traced forward since only the params are outputs.
+            init_fn = jax.jit(
+                lambda rngs: self.model.init(rngs, batch_in, False)
+            )
+            variables = init_fn(
+                {"params": init_rng, "dropout": dropout_rng}
             )
             variables = jax.device_get(variables)
         # replicated when the mesh's model axis is 1; tensor-parallel

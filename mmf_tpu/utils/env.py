@@ -33,25 +33,52 @@ def set_seed(seed):
 
 def import_user_module(user_dir: str):
     """Import python files in a user folder so its registry registrations
-    run (reference env.py:32-97)."""
+    run (reference env.py:32-97).
+
+    The import is cached PER RESOLVED PATH: two different plugin dirs
+    that share a basename (e.g. anything named ``user_dir``) must not
+    shadow each other through sys.modules, so a stale same-name module
+    from another path is evicted and re-imported."""
     from mmf_tpu.common.registry import registry
     from mmf_tpu.utils.general import get_absolute_path
 
     if user_dir:
-        if registry.get("__mmf_user_dir_imported__", no_warning=True):
-            logger.info(f"User dir {user_dir} already imported. Skipping.")
-            return
         user_dir = os.path.expanduser(user_dir)
         user_dir = get_absolute_path(user_dir)
+        imported = registry.get("__mmf_user_dir_imported__", no_warning=True)
+        if not isinstance(imported, set):
+            imported = set()
+        if user_dir in imported:
+            logger.info(f"User dir {user_dir} already imported. Skipping.")
+            return
         module_parent, module_name = os.path.split(user_dir)
 
-        if module_name not in sys.modules:
+        existing = sys.modules.get(module_name)
+        existing_dir = None
+        if existing is not None:
+            existing_file = getattr(existing, "__file__", None) or ""
+            existing_dir = os.path.dirname(os.path.realpath(existing_file))
+            for p in getattr(existing, "__path__", []) or []:
+                existing_dir = os.path.realpath(p)
+        if existing is not None and existing_dir != os.path.realpath(user_dir):
+            # same basename, different plugin dir: evict it (and its
+            # submodules) so this dir's registrations actually run
+            for k in [
+                k for k in sys.modules
+                if k == module_name or k.startswith(module_name + ".")
+            ]:
+                del sys.modules[k]
+            existing = None
+        if existing is None:
             sys.path.insert(0, module_parent)
-            importlib.import_module(module_name)
-            sys.path.pop(0)
+            try:
+                importlib.import_module(module_name)
+            finally:
+                sys.path.pop(0)
 
         logger.info(f"Importing from {user_dir}")
-        registry.register("__mmf_user_dir_imported__", True)
+        imported.add(user_dir)
+        registry.register("__mmf_user_dir_imported__", imported)
         registry.register("user_dir", user_dir)
 
 
@@ -112,11 +139,23 @@ def setup_imports():
 
 
 def teardown_imports():
-    """Re-entrancy for tests (analog of reference env.py:204)."""
+    """Re-entrancy for tests (analog of reference env.py:204): clears the
+    setup/user-dir caches AND evicts imported user-plugin modules from
+    sys.modules so the next import_user_module re-runs registrations."""
     from mmf_tpu.common.registry import registry
 
+    imported = registry.get("__mmf_user_dir_imported__", no_warning=True)
+    if isinstance(imported, set):
+        basenames = {os.path.split(p)[1] for p in imported}
+        for k in [
+            k for k in sys.modules
+            if k in basenames
+            or any(k.startswith(b + ".") for b in basenames)
+        ]:
+            del sys.modules[k]
     registry.unregister("imports_setup")
     registry.unregister("__mmf_user_dir_imported__")
+    registry.unregister("user_dir")
 
 
 def setup_compilation_cache(config=None, cache_dir=None):
