@@ -59,6 +59,7 @@ class CrossAttLayer(nn.Module):
             _split(q, h), _split(k, h), _split(v, h), ctx_bias,
             dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         out = nn.Dense(c.hidden_size, name="output_dense", dtype=c.dtype,
                        param_dtype=jnp.float32)(_merge(ctx))

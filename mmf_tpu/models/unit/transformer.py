@@ -67,6 +67,7 @@ class _MHA(nn.Module):
                 bias,
                 dropout_rate=rate,
                 dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+                train=not deterministic,
             )
         )
         return nn.Dense(self.hidden, name="out", dtype=self.dtype,

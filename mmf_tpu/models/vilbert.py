@@ -96,6 +96,7 @@ class ImageSelfAttention(nn.Module):
             _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias,
             dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         return _merge_heads(ctx)
 
@@ -144,6 +145,7 @@ class TextLayer(nn.Module):
             _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), bias,
             dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         att = _vdense(c, hsz, "attention_output_dense")(_merge_heads(ctx))
         att = nn.Dropout(c.get("hidden_dropout_prob", 0.1))(att, deterministic)
@@ -191,6 +193,7 @@ class ConnectionLayer(nn.Module):
             v_bias,
             dropout_rate=rate1,
             dropout_rng=self.make_rng("dropout") if rate1 > 0.0 else None,
+            train=not deterministic,
         )
         # image queries attend text keys/values (context for image)
         ctx2 = dot_product_attention(
@@ -198,6 +201,7 @@ class ConnectionLayer(nn.Module):
             t_bias,
             dropout_rate=rate2,
             dropout_rng=self.make_rng("dropout") if rate2 > 0.0 else None,
+            train=not deterministic,
         )
         ctx1 = _merge_heads(ctx1)  # [B, T_text, bi]
         ctx2 = _merge_heads(ctx2)  # [B, T_img, bi]

@@ -195,6 +195,7 @@ class TorchMultiheadAttention(nn.Module):
         ctx = dot_product_attention(
             qh, kh, vh, bias=bias, dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, sq, self.embed_dim)
         return nn.Dense(self.embed_dim, name="out_proj", dtype=self.dtype,
@@ -231,6 +232,7 @@ class MovieMcanMultiHeadAttention(nn.Module):
         ctx = dot_product_attention(
             qh, kh, vh, bias=bias, dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
         return nn.Dense(self.dim, name="out_lin", dtype=self.dtype,

@@ -290,6 +290,7 @@ class SelfAttention(nn.Module):
                 dropout_rate=0.0 if deterministic
                 else cfg.attention_probs_dropout_prob,
                 dropout_rng=attn_rng,
+                train=not deterministic,
             )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(
             hidden.shape[0], hidden.shape[1], cfg.hidden_size

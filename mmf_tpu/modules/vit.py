@@ -85,6 +85,7 @@ class ViTLayer(nn.Module):
         ctx = dot_product_attention(
             split(q), split(k), split(v), bias=bias, dropout_rate=rate,
             dropout_rng=self.make_rng("dropout") if rate > 0.0 else None,
+            train=not deterministic,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(
             x.shape[0], x.shape[1], cfg.hidden_size

@@ -27,6 +27,7 @@ Reference behavior being replaced: torch SDPA inside BertSelfAttentionJit
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -111,7 +112,8 @@ def mha_reference(
 # Pallas flash kernel
 # ---------------------------------------------------------------------------
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_out_ref, l_out_ref,
-                  acc_ref, m_ref, l_ref, *, scale, num_kv_blocks):
+                  acc_ref, m_ref, l_ref, *, scale, num_kv_blocks,
+                  raw_stats=False):
     """One (batch, head, q-block, kv-block) grid step of the online
     softmax. The kv dimension is the innermost ("arbitrary") grid axis,
     so Pallas double-buffers the K/V block DMAs against compute; the
@@ -163,6 +165,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_out_ref, l_out_ref,
     @pl.when(ki == num_kv_blocks - 1)
     def _finish():
         l = l_ref[...][:, :1]
+        if raw_stats:
+            # ring-attention building block: emit the UNNORMALIZED
+            # accumulator plus raw (m, l) so the caller can merge this
+            # block's online-softmax state with other ring steps'. A
+            # fully-masked row keeps its raw (m=finite mask scale, l>0)
+            # state — the caller's finite-mask merge semantics match the
+            # jnp ring path exactly.
+            m_out_ref[...] = m_ref[...]
+            l_out_ref[...] = l_ref[...]
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+            return
         if m_out_ref is not None:
             # l == 0 (true -inf masking across a whole row): park m at
             # 0 / l at 1 so the backward's exp(s - m)/l is exactly 0
@@ -254,14 +267,17 @@ def _grid_params(interpret):
 
 
 def _flash_forward(q, k, v, bias, scale, block_q, block_k, interpret,
-                   with_lse=False):
+                   with_lse=False, raw_stats=False):
+    if raw_stats:
+        with_lse = True
     q, k, v, bias, geom = _pad_inputs(q, k, v, bias, block_q, block_k)
     b, h, sq, skv, d, d_pad, sq_pad, skv_pad, block_q, block_k = geom
 
     num_kv = skv_pad // block_k
     grid = (b, h, sq_pad // block_q, num_kv)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, num_kv_blocks=num_kv
+        _flash_kernel, scale=scale, num_kv_blocks=num_kv,
+        raw_stats=raw_stats,
     )
 
     q_spec = pl.BlockSpec(
@@ -272,13 +288,28 @@ def _flash_forward(q, k, v, bias, scale, block_q, block_k, interpret,
     )
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [q, k, v]
+    def _out_struct(shape, dtype):
+        # inside shard_map (ring attention) the outputs are varying over
+        # the same mesh axes as the inputs; check_vma requires saying so
+        try:
+            vma = frozenset().union(
+                *(jax.core.get_aval(x).vma for x in (q, k, v))
+            )
+        except AttributeError:  # older jax: no vma typing
+            vma = None
+        if vma:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        return jax.ShapeDtypeStruct(shape, dtype)
+
     out_specs = [q_spec]
-    out_shapes = [jax.ShapeDtypeStruct((b, h, sq_pad, d_pad), q.dtype)]
+    out_shapes = [_out_struct(
+        (b, h, sq_pad, d_pad), jnp.float32 if raw_stats else q.dtype
+    )]
     if with_lse:
         row_spec = pl.BlockSpec(
             (1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
         )
-        row_shape = jax.ShapeDtypeStruct((b, h, sq_pad, 128), jnp.float32)
+        row_shape = _out_struct((b, h, sq_pad, 128), jnp.float32)
         out_specs += [row_spec, row_spec]
         out_shapes += [row_shape, row_shape]
     scratch = [
@@ -662,6 +693,42 @@ def flash_attention(
     return _flash_attention(q, k, v, bias, scale, block_q, block_k, interpret)
 
 
+def flash_attention_block(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+):
+    """Ring-attention building block: flash attention over ONE K/V block
+    that returns the raw online-softmax state instead of the normalized
+    output.
+
+    Returns ``(acc, m, l)`` with acc [B,H,Sq,D] float32 = sum_k
+    exp(s - m) @ v (UNNORMALIZED), m [B,H,Sq] float32 = running row max
+    of the scaled scores (+bias), l [B,H,Sq] float32 = sum_k exp(s - m).
+    The caller merges states across blocks with the standard recurrence
+    (ops/ring_attention.py): m' = max(m1, m2); acc' = acc1*e^(m1-m') +
+    acc2*e^(m2-m'); l' likewise; final out = acc'/l'.
+
+    Forward-only (no VJP): ring_attention wraps the merged result in a
+    custom_vjp whose backward recomputes via the jnp path.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    acc, m, l = _flash_forward(
+        q, k, v, bias, scale, block_q, block_k, interpret, raw_stats=True
+    )
+    sq, d = q.shape[2], q.shape[3]
+    acc = acc[:, :, :sq, :d]
+    m = m[:, :, :sq, 0]
+    l = l[:, :, :sq, 0]
+    return acc, m, l
+
+
 # ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
@@ -676,33 +743,50 @@ def _on_tpu() -> bool:
 # bench_flash_bwd.py, B=16,H=12,D=64, bf16, 512x1024+ blocks):
 #   S=228/256: XLA 639us fwd vs pallas 1514 — XLA wins (fused attention
 #              near-roofline at BERT scale, pallas grid overhead shows)
-#   S=512:  fwd 511 vs 596 pallas ahead; fwd+bwd 1721 vs 1588 ~par
+#   S=512:  fwd 511 vs 596 pallas ahead; fwd+bwd 1721 vs 1588 — XLA
+#           still ahead with the backward included
 #   S=1024: fwd 1343 vs 2432, fwd+bwd 4567 vs 7826 — pallas 1.7x
 #   S=2048: fwd 3645 vs 10278, fwd+bwd 13390 vs 30434 — pallas 2.3-2.8x
 # plus O(S) memory vs XLA's materialized [B,H,S,S] probs. The auto
-# default switches on max seq len; MMF_TPU_ATTENTION=pallas|xla pins.
-PALLAS_MIN_SEQ = 512
+# default switches on max seq len — with SEPARATE fwd / fwd+bwd
+# thresholds, since the bwd crossover sits a regime later (the dq/dkv
+# kernels re-stream K/V and pay two more gemms per block).
+# MMF_TPU_ATTENTION=pallas|xla pins the impl outright.
+PALLAS_MIN_SEQ = 512          # inference/eval (forward only)
+PALLAS_MIN_SEQ_BWD = 1024     # training (forward + backward)
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_min_seq() -> int:
-    """Crossover threshold for the auto dispatch; override with
-    MMF_TPU_PALLAS_MIN_SEQ (crossover table in BENCH_NOTES.md)."""
+def _int_env(name: str, default: int) -> int:
     import os
 
-    env = os.environ.get("MMF_TPU_PALLAS_MIN_SEQ", "")
+    env = os.environ.get(name, "")
     if not env:
-        return PALLAS_MIN_SEQ
+        return default
     try:
         return int(env)
     except ValueError:
         import warnings
 
         warnings.warn(
-            f"MMF_TPU_PALLAS_MIN_SEQ={env!r} is not an integer; "
-            f"falling back to the default {PALLAS_MIN_SEQ}"
+            f"{name}={env!r} is not an integer; "
+            f"falling back to the default {default}"
         )
-        return PALLAS_MIN_SEQ
+        return default
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_min_seq() -> int:
+    """Forward-only crossover threshold for the auto dispatch; override
+    with MMF_TPU_PALLAS_MIN_SEQ (crossover table in BENCH_NOTES.md)."""
+    return _int_env("MMF_TPU_PALLAS_MIN_SEQ", PALLAS_MIN_SEQ)
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_min_seq_bwd() -> int:
+    """fwd+bwd crossover threshold (training call sites pass train=True);
+    override with MMF_TPU_PALLAS_MIN_SEQ_BWD. Defaults to the measured
+    v5e bwd crossover (1024 — Pallas loses fwd+bwd at 512)."""
+    return _int_env("MMF_TPU_PALLAS_MIN_SEQ_BWD", PALLAS_MIN_SEQ_BWD)
 
 
 @functools.lru_cache(maxsize=1)
@@ -717,6 +801,16 @@ def default_impl() -> str:
     return "auto"
 
 
+@functools.lru_cache(maxsize=1)
+def _warn_dropout_xla_once() -> None:
+    logging.getLogger(__name__).info(
+        "attention-probs dropout is active: routing attention through "
+        "the XLA path (the flash kernel never materializes probabilities "
+        "to drop). Set attention_probs_dropout_prob=0.0 to use the "
+        "Pallas kernel during training."
+    )
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -726,23 +820,31 @@ def dot_product_attention(
     impl: Optional[str] = None,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    train: bool = False,
 ) -> jax.Array:
     """Framework-wide attention entry point. [B,H,S,D] layout.
 
-    impl: None (auto: XLA below PALLAS_MIN_SEQ, the Pallas flash kernel
-    at/above — the measured v5e crossover), "pallas",
-    "pallas_interpret" (tests), or "xla".
+    impl: None (auto: XLA below the measured v5e crossover, the Pallas
+    flash kernel at/above — PALLAS_MIN_SEQ for forward-only calls,
+    PALLAS_MIN_SEQ_BWD when ``train=True`` since the backward crossover
+    sits a regime later), "pallas", "pallas_interpret" (tests), or
+    "xla".
+    train: the call will be differentiated (a training step) — selects
+    the fwd+bwd crossover threshold in auto mode.
     dropout_rate/dropout_rng: attention-probs dropout (train only); the
     flash kernel has no probs to drop, so active dropout always routes
-    through the XLA path.
+    through the XLA path (logged once).
     """
     if impl is None:
         impl = default_impl()
     if impl == "auto":
         on_tpu = _on_tpu()
-        long_seq = max(q.shape[2], k.shape[2]) >= _pallas_min_seq()
+        min_seq = _pallas_min_seq_bwd() if train else _pallas_min_seq()
+        long_seq = max(q.shape[2], k.shape[2]) >= min_seq
         impl = "pallas" if (on_tpu and long_seq) else "xla"
     if dropout_rate > 0.0 and dropout_rng is not None:
+        if impl != "xla":
+            _warn_dropout_xla_once()
         return mha_reference(q, k, v, bias, scale, dropout_rate, dropout_rng)
     if impl == "xla":
         return mha_reference(q, k, v, bias, scale)

@@ -117,3 +117,64 @@ def test_ring_attention_grads_flow():
     for a, b in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_ring_attention_flash_path_matches_unsharded():
+    """The Pallas flash local-block path (raw-stats kernel + f32 ring
+    merge, VERDICT r4 item 4) must match dense attention. Runs the
+    kernel through the Pallas interpreter on the CPU mesh; on TPU the
+    same code path compiles (dispatched at/past the crossover seq len)."""
+    import jax.numpy as jnp
+
+    from mmf_tpu.ops.ring_attention import ring_attention_sharded
+
+    mesh = _mesh(n=4)
+    rng = np.random.RandomState(4)
+    B, H, S, D = 1, 2, 32, 8
+    q = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    mask_np = np.ones((B, S), bool)
+    mask_np[0, -6:] = False
+    mask = jnp.asarray(mask_np)
+
+    out = ring_attention_sharded(
+        q, k, v, mesh, axis="seq", key_mask=mask, impl="flash_interpret"
+    )
+    expected = _reference(q, k, v, key_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_flash_grads_equal_jnp_path():
+    """The flash path's custom_vjp recomputes its backward through the
+    jnp implementation, so SP training gradients are IDENTICAL with and
+    without the flash forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmf_tpu.ops.ring_attention import ring_attention_sharded
+
+    mesh = _mesh(n=4)
+    rng = np.random.RandomState(5)
+    B, H, S, D = 1, 2, 16, 8
+    q = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+
+    def loss(impl):
+        def f(q, k, v):
+            return jnp.sum(
+                ring_attention_sharded(
+                    q, k, v, mesh, axis="seq", impl=impl
+                ) ** 2
+            )
+        return f
+
+    g_flash = jax.grad(loss("flash_interpret"), argnums=(0, 1, 2))(q, k, v)
+    g_jnp = jax.grad(loss("jnp"), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_jnp):
+        # bwd recompute path is the SAME jnp program -> tight tolerance
+        # (only the fwd output feeding sum-of-squares' cotangent differs)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
