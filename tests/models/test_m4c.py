@@ -134,3 +134,87 @@ def test_m4c_eval_init_then_train_apply():
     assert jax.tree_util.tree_structure(eval_vars) == (
         jax.tree_util.tree_structure(train_vars)
     )
+
+
+class TestDecodeUnrollAuto:
+    """VERDICT r4 #7: decode_unroll=auto picks the scan unroll from the
+    run's decode budget via the measured cost table."""
+
+    def test_small_budget_prefers_cheap_compile(self):
+        from mmf_tpu.models.m4c import _DECODE_COST, _resolve_decode_unroll
+
+        u = _resolve_decode_unroll(100)
+        # 100 samples never amortize a bigger compile than the cheapest
+        cheapest = min(_DECODE_COST, key=lambda k: _DECODE_COST[k][0])
+        assert u == cheapest
+
+    def test_large_budget_prefers_throughput(self):
+        from mmf_tpu.models.m4c import _DECODE_COST, _resolve_decode_unroll
+
+        u = _resolve_decode_unroll(10_000_000)
+        fastest = max(_DECODE_COST, key=lambda k: _DECODE_COST[k][1])
+        assert u == fastest
+
+    def test_unknown_budget_uses_default(self):
+        from mmf_tpu.models.m4c import (
+            _DEFAULT_DECODE_BUDGET,
+            _resolve_decode_unroll,
+        )
+
+        assert _resolve_decode_unroll(0) == _resolve_decode_unroll(
+            _DEFAULT_DECODE_BUDGET
+        )
+
+    def test_is_total_time_argmin(self):
+        from mmf_tpu.models.m4c import _DECODE_COST, _resolve_decode_unroll
+
+        for budget in (1_000, 50_000, 400_000):
+            u = _resolve_decode_unroll(budget)
+            t = {k: c + budget / s for k, (c, s) in _DECODE_COST.items()}
+            assert t[u] == min(t.values())
+
+
+    def test_persistent_cache_prefers_throughput(self):
+        import jax as _jax
+
+        from mmf_tpu.models.m4c import _DECODE_COST, _resolve_decode_unroll
+
+        prev = getattr(_jax.config, "jax_compilation_cache_dir", None)
+        _jax.config.update("jax_compilation_cache_dir", "/tmp/xla_cache")
+        try:
+            fastest = max(_DECODE_COST, key=lambda k: _DECODE_COST[k][1])
+            assert _resolve_decode_unroll(100) == fastest
+        finally:
+            _jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_estimate_decode_budget():
+    """Trainer-side budget estimation (mmf_trainer.py): eval-split size
+    times the number of scheduled evals."""
+    from mmf_tpu.trainers.mmf_trainer import MMFTrainer
+
+    class _Loader:
+        def __init__(self, n):
+            self._total_length = n
+
+        def __len__(self):
+            return self._total_length // 32
+
+    t = MMFTrainer.__new__(MMFTrainer)
+    t.val_loader = _Loader(5000)
+    t.test_loader = _Loader(0)
+    t.train_loader = _Loader(64000)
+
+    # eval-only run: one pass
+    t.run_type = "val"
+    t.training_config = {}
+    assert t._estimate_decode_budget() == 5000
+
+    # training run: max_updates // evaluation_interval + 1 evals
+    t.run_type = "train_val"
+    t.training_config = {"max_updates": 4000, "evaluation_interval": 1000}
+    assert t._estimate_decode_budget() == 5000 * 5
+
+    # epoch-style schedule falls back to len(train_loader) * epochs
+    t.training_config = {"max_epochs": 2, "evaluation_interval": 1000}
+    assert t._estimate_decode_budget() == 5000 * (4000 // 1000 + 1)

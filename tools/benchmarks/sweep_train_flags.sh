@@ -12,16 +12,27 @@ OUT=${OUT:-/tmp/train_sweep.jsonl}
 run() {
   local tag="$1"; shift
   echo "--- $tag" >> "$OUT"
-  timeout 540 python tools/benchmarks/bench_train.py "$@" 2>/dev/null \
-    | tail -1 >> "$OUT"
-  echo "exit=$?" >> "$OUT"
+  timeout 540 python tools/benchmarks/bench_train.py "$@" \
+    2> "${OUT%.jsonl}.$tag.stderr" | tail -1 >> "$OUT"
+  # PIPESTATUS[0] is python's status (plain $? would be tail's, which
+  # masks crashes/timeouts as exit=0)
+  echo "exit=${PIPESTATUS[0]}" >> "$OUT"
 }
 
-run b32_clean --batch_size 32 --iters 16
+# b32_clean repeats interleaved through the sweep measure within-session
+# spread (VERDICT r4 #3: train numbers must reproduce to +-5% before any
+# lever claim is falsifiable)
+run b32_clean_a --batch_size 32 --iters 16
 run b64_clean --batch_size 64 --iters 16
 XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" \
   run b64_lhs --batch_size 64 --iters 16
+run b32_clean_b --batch_size 32 --iters 16
 LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536" \
   run b64_vmem64 --batch_size 64 --iters 16
+XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" \
+LIBTPU_INIT_ARGS="--xla_tpu_scoped_vmem_limit_kib=65536" \
+  run b64_lhs_vmem64 --batch_size 64 --iters 16
 run b64_accum2 --batch_size 32 --iters 16 --accum 2
+run b128_clean --batch_size 128 --iters 16
+run b32_clean_c --batch_size 32 --iters 16
 echo DONE >> "$OUT"
