@@ -1,8 +1,10 @@
 """The convergence-demo dataset (tools/benchmarks/convergence) must be
-deterministic and genuinely fusion-dependent: the label is the XOR of
-the image bit and the text bit, so neither modality alone can predict
-it. Guards the end-to-end convergence demonstration recorded in
-BENCH_NOTES.md ("End-to-end convergence").
+deterministic and genuinely fusion-dependent: by default the label is
+the AND of the image bit and the text bit, so no single modality can
+score above 75% accuracy (while each still carries first-order gradient
+signal — XOR, also available via ``task``, has none and from-scratch
+models plateau; both measured). Guards the end-to-end convergence
+demonstration recorded in BENCH_NOTES.md ("End-to-end convergence").
 """
 
 import os
@@ -40,15 +42,24 @@ def test_deterministic(train_ds):
         assert a["targets"] == b["targets"]
 
 
-def test_label_is_xor_of_modal_bits(train_ds):
+def test_default_label_is_and_of_modal_bits(train_ds):
     for idx in range(64):
         s = train_ds[idx]
+        bit_img, bit_txt = _bits(s)
+        assert int(s["targets"]) == (bit_img & bit_txt)
+
+
+def test_task_knob_selects_label_rule():
+    xor = SynthMemes({"task": "xor"}, "train")
+    for idx in range(64):
+        s = xor[idx]
         bit_img, bit_txt = _bits(s)
         assert int(s["targets"]) == bit_img ^ bit_txt
 
 
-def test_single_modality_is_uninformative(train_ds):
-    """Over the split, each bit alone must be ~chance vs the label."""
+def test_single_modality_capped_below_fusion(train_ds):
+    """Under AND the best unimodal decision rule (majority label within
+    each bit value) caps near 75%; only fusion reaches ~100%."""
     labels, img_bits, txt_bits = [], [], []
     for idx in range(len(train_ds)):
         s = train_ds[idx]
@@ -58,8 +69,12 @@ def test_single_modality_is_uninformative(train_ds):
         txt_bits.append(bt)
     labels = np.array(labels)
     for bits in (np.array(img_bits), np.array(txt_bits)):
-        acc = max((bits == labels).mean(), (bits != labels).mean())
-        assert acc < 0.6, "one modality alone predicts the label"
+        accs = []
+        for b in (0, 1):
+            sel = labels[bits == b]
+            accs.append(max(sel.mean(), 1 - sel.mean()) * len(sel))
+        best_unimodal = sum(accs) / len(labels)
+        assert best_unimodal < 0.85, "one modality alone predicts the label"
 
 
 def test_splits_disjoint_and_balanced():
@@ -67,5 +82,6 @@ def test_splits_disjoint_and_balanced():
     train_ids = {int(train[i]["id"]) for i in range(len(train))}
     val_ids = {int(val[i]["id"]) for i in range(len(val))}
     assert not train_ids & val_ids
+    # AND of two fair bits: ~25% positives
     frac = np.mean([int(val[i]["targets"]) for i in range(len(val))])
-    assert 0.2 < frac < 0.8
+    assert 0.1 < frac < 0.45
