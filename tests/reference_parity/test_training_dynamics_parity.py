@@ -42,12 +42,14 @@ def ref():
     shims.install()
     import mmf.models.m4c as ref_m4c
     import mmf.models.mmbt as ref_mmbt
+    import mmf.models.vilbert as ref_vilbert
     import mmf.models.visual_bert as ref_visual_bert
     import mmf.utils.modeling as ref_modeling
 
     yield {
         "m4c": ref_m4c,
         "mmbt": ref_mmbt,
+        "vilbert": ref_vilbert,
         "visual_bert": ref_visual_bert,
         "modeling": ref_modeling,
     }
@@ -553,3 +555,137 @@ def test_mmbt_trajectory_parity(ref):
         np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
         err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
     )
+
+
+def test_vilbert_trajectory_parity(ref):
+    """8 full optimizer updates through ViLBERT's interleaved two-stream
+    trunk — the co-attention backward (reference vilbert.py:347-475) under
+    the 'mul' fusion head (vilbert.py:1319-1322) + logit_bce — AdamW +
+    linear warmup + global-norm clip + BERT weight-decay grouping must
+    produce the reference's per-step loss sequence (third family with
+    trajectory parity, after visual_bert and mmbt)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    import torch.nn.functional as F
+
+    from mmf_tpu.modules.losses import LogitBinaryCrossEntropy
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.modules.schedulers import build_scheduler
+    from mmf_tpu.utils.modeling import bert_no_decay_mask
+    from tests.reference_parity.test_golden_parity import (
+        _VILBERT_INPUT_ORDER,
+        VILBERT_TRUNK_KEY_MAP,
+        _tiny_vilbert,
+    )
+
+    tmodel, jmodel, converted, _, inputs = _tiny_vilbert(ref)
+
+    BI, N_LABELS = 24, 3
+    torch.manual_seed(44)
+    tcls = torch.nn.Linear(BI, N_LABELS)
+    rng = np.random.RandomState(44)
+    targets = rng.randint(0, 2, (2, N_LABELS)).astype(np.float32)
+    # snapshot the head BEFORE the torch loop mutates it in place
+    jcls = {
+        "kernel": tcls.weight.detach().numpy().T.copy(),
+        "bias": tcls.bias.detach().numpy().copy(),
+    }
+
+    LR, EPS, WD, CLIP, WARMUP, TOTAL = 5e-4, 1e-8, 0.01, 0.25, 3, 8
+
+    # ---- torch reference loop ----
+    container = torch.nn.ModuleDict({"trunk": tmodel, "classifier": tcls})
+    groups = ref["modeling"].get_bert_configured_parameters(
+        container, weight_decay=WD
+    )
+    topt = torch.optim.AdamW(groups, lr=LR, eps=EPS)
+
+    def lr_lambda(step):  # reference warmup_linear semantics
+        if step < WARMUP:
+            return step / max(1, WARMUP)
+        return max(0.0, (TOTAL - step) / max(1, TOTAL - WARMUP))
+
+    tsched = torch.optim.lr_scheduler.LambdaLR(topt, lr_lambda)
+    t_in = [torch.from_numpy(inputs[k]) for k in _VILBERT_INPUT_ORDER]
+    t_targets = torch.from_numpy(targets)
+    t_losses = []
+    for _ in range(TOTAL):
+        topt.zero_grad()
+        t_out = tmodel(*t_in)
+        t_scores = tcls(t_out[2] * t_out[3])
+        loss = F.binary_cross_entropy_with_logits(
+            t_scores, t_targets, reduction="mean"
+        ) * N_LABELS
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(container.parameters(), CLIP)
+        topt.step()
+        tsched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- our optax chain, built exactly as MMFTrainer.load_optimizer ----
+    config = {
+        "optimizer": {"type": "adam_w",
+                      "params": {"lr": LR, "eps": EPS, "weight_decay": WD}},
+        "scheduler": {"type": "warmup_linear",
+                      "params": {"num_warmup_steps": WARMUP,
+                                 "num_training_steps": TOTAL}},
+        "training": {"max_updates": TOTAL, "lr_scheduler": True},
+    }
+    tx = build_optimizer_transform(
+        config,
+        schedule_fn=build_scheduler(config),
+        max_grad_norm=CLIP,
+        weight_decay_mask=bert_no_decay_mask(),
+    )
+    params = {"trunk": converted, "classifier": jcls}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            _, _, pooled_t, pooled_v = jmodel.apply(
+                {"params": p["trunk"]},
+                *(inputs[k] for k in _VILBERT_INPUT_ORDER),
+            )
+            scores = (pooled_t * pooled_v) @ p["classifier"]["kernel"] \
+                + p["classifier"]["bias"]
+            return LogitBinaryCrossEntropy()(
+                {"targets": jnp.asarray(targets)}, {"scores": scores}
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for _ in range(TOTAL):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
+        err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
+    )
+
+    # end-state params close too (catches compensating errors in losses)
+    t_final = _state_dict_np(tmodel)
+    reconverted, _ = convert_torch_state_dict(
+        t_final,
+        jax.tree_util.tree_map(np.asarray, params["trunk"]),
+        key_map=VILBERT_TRUNK_KEY_MAP,
+    )
+    flat_ours = jax.tree_util.tree_flatten_with_path(params["trunk"])[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(reconverted)[0])
+    for path, ours in flat_ours:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        leaf = name.rsplit("/", 2)
+        if name.endswith("/bias") and leaf[-2].startswith("key"):
+            # any attention key bias (key, and the co-attention's
+            # key1/key2) is inert under softmax shift-invariance (see
+            # test_visual_bert_trajectory_parity) — both frameworks'
+            # trajectories of these parameters are f32-noise-driven
+            continue
+        err = _rel_err(np.asarray(ours), np.asarray(flat_ref[path]))
+        assert err < 1e-3, f"post-training weight mismatch {name}: {err:.2e}"
