@@ -303,3 +303,126 @@ def test_mmft_full_gradient_parity(ref):
             gsd[tied] = gsd[shared]
     g_converted = _convert(gsd, g)
     assert_grad_trees_match(g, g_converted, min_leaves=40)
+
+
+def test_mmft_trajectory_parity(ref):
+    """8 full AdamW + warmup_linear + global-norm-clip updates through
+    the WHOLE MMFTransformer assembly — including the tied text token
+    table / outer LayerNorm (one shared tensor on both sides) — must
+    produce the reference's per-step loss sequence (fifth family with
+    trajectory parity)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    import torch.nn.functional as F
+
+    import mmf.utils.modeling as ref_modeling
+    from mmf_tpu.modules.losses import LogitBinaryCrossEntropy
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.modules.schedulers import build_scheduler
+    from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+    torch.manual_seed(51)
+    tm = _build_ref(ref)
+    batch = _batch()
+
+    LR, EPS, WD, CLIP, WARMUP, TOTAL = 5e-4, 1e-8, 0.01, 0.25, 3, 8
+
+    # snapshot initial weights BEFORE the torch loop mutates in place
+    sd0 = {
+        k: v.detach().numpy().copy() for k, v in tm.state_dict().items()
+    }
+
+    # ---- torch reference loop ----
+    groups = ref_modeling.get_bert_configured_parameters(
+        tm, weight_decay=WD
+    )
+    topt = torch.optim.AdamW(groups, lr=LR, eps=EPS)
+
+    def lr_lambda(step):  # reference warmup_linear semantics
+        if step < WARMUP:
+            return step / max(1, WARMUP)
+        return max(0.0, (TOTAL - step) / max(1, TOTAL - WARMUP))
+
+    tsched = torch.optim.lr_scheduler.LambdaLR(topt, lr_lambda)
+    t_targets = torch.from_numpy(batch["targets"])
+    t_losses = []
+    for _ in range(TOTAL):
+        topt.zero_grad()
+        t_out = tm(_ref_sample_list(batch))
+        loss = F.binary_cross_entropy_with_logits(
+            t_out["scores"], t_targets, reduction="mean"
+        ) * NUM_LABELS
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP)
+        topt.step()
+        tsched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- our optax chain, built exactly as MMFTrainer.load_optimizer ----
+    config = {
+        "optimizer": {"type": "adam_w",
+                      "params": {"lr": LR, "eps": EPS, "weight_decay": WD}},
+        "scheduler": {"type": "warmup_linear",
+                      "params": {"num_warmup_steps": WARMUP,
+                                 "num_training_steps": TOTAL}},
+        "training": {"max_updates": TOTAL, "lr_scheduler": True},
+    }
+    tx = build_optimizer_transform(
+        config,
+        schedule_fn=build_scheduler(config),
+        max_grad_norm=CLIP,
+        weight_decay_mask=bert_no_decay_mask(),
+    )
+
+    model = registry.get_model_class("mmf_transformer")(
+        config=dict(MODEL_CFG)
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    params = _convert(sd0, variables["params"])
+
+    loss_fn = LogitBinaryCrossEntropy()
+
+    @jax.jit
+    def step(params, opt_state):
+        def jax_loss(p):
+            out = model.apply({"params": p}, batch, False)
+            return loss_fn(
+                {"targets": jnp.asarray(batch["targets"])},
+                {"scores": out["scores"]},
+            )
+
+        loss, grads = jax.value_and_grad(jax_loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(TOTAL):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
+        err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
+    )
+
+    # end-state params close too (catches compensating errors in losses)
+    sd_final = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    reconverted = _convert(
+        sd_final, jax.tree_util.tree_map(np.asarray, params)
+    )
+    flat_ours = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(reconverted)[0])
+    for path, ours in flat_ours:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        parts = name.rsplit("/", 2)
+        if name.endswith("/bias") and "key" in parts[-2]:
+            # attention key biases are inert under softmax
+            # shift-invariance (see test_training_dynamics_parity)
+            continue
+        ref_leaf = np.asarray(flat_ref[path])
+        denom = max(float(np.max(np.abs(ref_leaf))), 1e-8)
+        err = float(np.max(np.abs(np.asarray(ours) - ref_leaf))) / denom
+        assert err < 1e-3, f"post-training weight mismatch {name}: {err:.2e}"
