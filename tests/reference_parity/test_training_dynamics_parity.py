@@ -689,3 +689,191 @@ def test_vilbert_trajectory_parity(ref):
             continue
         err = _rel_err(np.asarray(ours), np.asarray(flat_ref[path]))
         assert err < 1e-3, f"post-training weight mismatch {name}: {err:.2e}"
+
+
+def test_m4c_trajectory_parity(ref):
+    """8 full AdamW + warmup_linear + global-norm-clip updates through
+    the M4C MMT (prefix-LM mask, teacher-forced decode span) + trainable
+    score projection under m4c_decoding_bce_with_mask — per-step loss
+    sequence must match the reference loop (sixth family with trajectory
+    parity: all six BASELINE model families now have it)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+    import torch.nn.functional as F
+    from transformers import BertConfig
+
+    from mmf_tpu.models.m4c import MMT
+    from mmf_tpu.modules.losses import M4CDecodingBCEWithMaskLoss
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.modules.schedulers import build_scheduler
+    from mmf_tpu.modules.transformer import TransformerConfig
+    from mmf_tpu.utils.modeling import bert_no_decay_mask
+
+    torch.manual_seed(11)
+    H = 32
+    bert_config = BertConfig(
+        vocab_size=30, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    tmodel = ref["m4c"].MMT(bert_config)
+    cfg = TransformerConfig(
+        vocab_size=30, hidden_size=H, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=40, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    jmodel = MMT(cfg)
+
+    B, T_TXT, T_OBJ, T_OCR, T_DEC, N_ANS, V = 2, 5, 4, 3, 6, 11, 14
+    rng = np.random.RandomState(5)
+    inputs = {
+        "txt_emb": rng.randn(B, T_TXT, H).astype(np.float32),
+        "obj_emb": rng.randn(B, T_OBJ, H).astype(np.float32),
+        "ocr_emb": rng.randn(B, T_OCR, H).astype(np.float32),
+        "fixed_ans_emb": rng.randn(N_ANS, H).astype(np.float32),
+        "prev_inds": rng.randint(0, N_ANS + T_OCR, (B, T_DEC)),
+        "txt_mask": np.ones((B, T_TXT), np.float32),
+        "obj_mask": np.ones((B, T_OBJ), np.float32),
+        "ocr_mask": np.ones((B, T_OCR), np.float32),
+    }
+    inputs["txt_mask"][1, -1] = 0
+    proj_w = (rng.randn(V, H).astype(np.float32) * 0.1)
+    targets = rng.randint(0, 2, (B, T_DEC, V)).astype(np.float32)
+    loss_mask = np.ones((B, T_DEC), np.float32)
+    loss_mask[0, -2:] = 0
+
+    LR, EPS, WD, CLIP, WARMUP, TOTAL = 5e-4, 1e-8, 0.01, 0.25, 3, 8
+
+    # snapshot initial trunk weights BEFORE the torch loop mutates
+    # them in place (state_dict().numpy() is a view, hence .copy())
+    sd0 = {
+        k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()
+    }
+
+    # ---- torch reference loop (trainable projection too) ----
+    tproj = torch.nn.Linear(H, V, bias=False)
+    with torch.no_grad():
+        tproj.weight.copy_(torch.from_numpy(proj_w))
+    container = torch.nn.ModuleDict({"trunk": tmodel, "classifier": tproj})
+    groups = ref["modeling"].get_bert_configured_parameters(
+        container, weight_decay=WD
+    )
+    topt = torch.optim.AdamW(groups, lr=LR, eps=EPS)
+
+    def lr_lambda(step):  # reference warmup_linear semantics
+        if step < WARMUP:
+            return step / max(1, WARMUP)
+        return max(0.0, (TOTAL - step) / max(1, TOTAL - WARMUP))
+
+    tsched = torch.optim.lr_scheduler.LambdaLR(topt, lr_lambda)
+    t_in = {k: torch.from_numpy(v) for k, v in inputs.items()}
+    t_targets = torch.from_numpy(targets)
+    t_lmask = torch.from_numpy(loss_mask)
+    t_losses = []
+    for _ in range(TOTAL):
+        topt.zero_grad()
+        t_out = tmodel(
+            t_in["txt_emb"], t_in["txt_mask"], t_in["obj_emb"],
+            t_in["obj_mask"], t_in["ocr_emb"], t_in["ocr_mask"],
+            t_in["fixed_ans_emb"], t_in["prev_inds"],
+        )
+        t_scores = tproj(t_out["mmt_dec_output"])
+        raw = F.binary_cross_entropy_with_logits(
+            t_scores, t_targets, reduction="none"
+        ) * t_lmask.unsqueeze(-1)
+        loss = raw.sum() / t_lmask.sum()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(container.parameters(), CLIP)
+        topt.step()
+        tsched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- our optax chain, built exactly as MMFTrainer.load_optimizer ----
+    config = {
+        "optimizer": {"type": "adam_w",
+                      "params": {"lr": LR, "eps": EPS, "weight_decay": WD}},
+        "scheduler": {"type": "warmup_linear",
+                      "params": {"num_warmup_steps": WARMUP,
+                                 "num_training_steps": TOTAL}},
+        "training": {"max_updates": TOTAL, "lr_scheduler": True},
+    }
+    tx = build_optimizer_transform(
+        config,
+        schedule_fn=build_scheduler(config),
+        max_grad_norm=CLIP,
+        weight_decay_mask=bert_no_decay_mask(),
+    )
+
+    init_params = jmodel.init(
+        jax.random.PRNGKey(0), inputs["txt_emb"], inputs["txt_mask"],
+        inputs["obj_emb"], inputs["obj_mask"], inputs["ocr_emb"],
+        inputs["ocr_mask"], inputs["fixed_ans_emb"], inputs["prev_inds"],
+    )["params"]
+    converted, stats = convert_torch_state_dict(
+        sd0, init_params, key_map=HF_BERT_KEY_MAP
+    )
+    assert stats["shape_mismatch"] == 0
+
+    loss_fn = M4CDecodingBCEWithMaskLoss()
+    params = {"trunk": converted,
+              "classifier": {"kernel": proj_w.T.copy()}}
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def jax_loss(p):
+            out = jmodel.apply(
+                {"params": p["trunk"]}, inputs["txt_emb"],
+                inputs["txt_mask"], inputs["obj_emb"], inputs["obj_mask"],
+                inputs["ocr_emb"], inputs["ocr_mask"],
+                inputs["fixed_ans_emb"], inputs["prev_inds"],
+            )
+            scores = out["mmt_dec_output"] @ p["classifier"]["kernel"]
+            return loss_fn(
+                {"targets": jnp.asarray(targets),
+                 "train_loss_mask": jnp.asarray(loss_mask)},
+                {"scores": scores},
+            )
+
+        loss, grads = jax.value_and_grad(jax_loss)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for _ in range(TOTAL):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
+        err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
+    )
+
+    # end-state params close too (catches compensating errors in losses)
+    t_final = _state_dict_np(tmodel)
+    reconverted, _ = convert_torch_state_dict(
+        t_final,
+        jax.tree_util.tree_map(np.asarray, params["trunk"]),
+        key_map=HF_BERT_KEY_MAP,
+    )
+    flat_ours = jax.tree_util.tree_flatten_with_path(params["trunk"])[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(reconverted)[0])
+    for path, ours in flat_ours:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        parts = name.rsplit("/", 2)
+        if name.endswith("/bias") and "key" in parts[-2]:
+            # inert under softmax shift-invariance (see
+            # test_visual_bert_trajectory_parity)
+            continue
+        ref_leaf = np.asarray(flat_ref[path])
+        denom = max(float(np.max(np.abs(ref_leaf))), 1e-8)
+        err = float(np.max(np.abs(np.asarray(ours) - ref_leaf))) / denom
+        assert err < 1e-3, f"post-training weight mismatch {name}: {err:.2e}"
+    np.testing.assert_allclose(
+        np.asarray(params["classifier"]["kernel"]),
+        tproj.weight.detach().numpy().T, rtol=1e-3, atol=1e-6,
+    )
