@@ -12,9 +12,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# self-pathing: do NOT use PYTHONPATH=/root/repo for TPU scripts — the
+# repo's top-level dirs shadow modules the axon PJRT plugin imports,
+# breaking backend registration. Appending (not prepending) is safe.
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+if _REPO not in sys.path:
+    sys.path.append(_REPO)
 
 
 def _time_fn(fn, *args, repeats=4, n1=20, n2=220):
