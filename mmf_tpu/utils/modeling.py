@@ -11,23 +11,25 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
 def lr_multiplier_labels(params: Any, prefix_scales: Dict[str, float]) -> Any:
     """Label each param leaf with the scale of the longest matching path
-    prefix ('' -> 1.0)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    prefix ('' -> 1.0). Scales are stored as f32 arrays so the transform
+    state can flow through a jitted train step (string labels would fail
+    abstraction at the jit boundary)."""
 
     def label_for(path):
         path_str = "/".join(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
-        best, best_len = "1.0", -1
+        best, best_len = 1.0, -1
         for prefix, scale in prefix_scales.items():
             if path_str.startswith(prefix) and len(prefix) > best_len:
-                best, best_len = str(scale), len(prefix)
-        return best
+                best, best_len = float(scale), len(prefix)
+        return jnp.asarray(best, jnp.float32)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, _: label_for(path), params
@@ -44,7 +46,7 @@ def scale_updates_by_prefix(
 
     def update_fn(updates, state, params=None):
         scaled = jax.tree_util.tree_map(
-            lambda u, s: u * float(s), updates, state
+            lambda u, s: u * s.astype(u.dtype), updates, state
         )
         return scaled, state
 

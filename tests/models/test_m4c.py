@@ -218,3 +218,57 @@ def test_estimate_decode_budget():
     # epoch-style schedule falls back to len(train_loader) * epochs
     t.training_config = {"max_epochs": 2, "evaluation_interval": 1000}
     assert t._estimate_decode_budget() == 5000 * (4000 // 1000 + 1)
+
+
+def test_m4c_fused_train_step_with_lr_multipliers():
+    """The REAL trainer path for M4C: build_optimizer_transform with the
+    model's get_lr_multipliers (lr_scale_text_bert etc., reference
+    m4c.py:306-326) feeding make_train_step, one jitted update.
+    Regression test: the lr-multiplier transform's state used to carry
+    STRING labels, which fail abstraction at the jit boundary — M4C
+    training via the fused step crashed before round 5's fix
+    (utils/modeling.py:lr_multiplier_labels)."""
+    from mmf_tpu.modules.losses import Losses
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.trainers.core.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    registry.register("textvqa_num_final_outputs", 20)
+    cls = registry.get_model_class("m4c")
+    model = cls(config=_small_m4c())
+    batch = dict(_batch())
+    meta = {"dataset_name": batch.pop("dataset_name"),
+            "dataset_type": batch.pop("dataset_type")}
+    batch["targets"] = jnp.zeros((2, 4, 20), jnp.float32)
+    batch["train_loss_mask"] = jnp.ones((2, 4), jnp.float32)
+
+    variables = model.init(
+        {"params": RNG, "dropout": jax.random.PRNGKey(1)},
+        dict(batch, **meta), True,
+    )
+    tx = build_optimizer_transform(
+        {"optimizer": {"type": "adam_w", "params": {"lr": 1e-3}},
+         "training": {}},
+        max_grad_norm=0.25,
+        lr_multipliers=model.get_lr_multipliers(),
+    )
+    step = make_train_step(
+        model.apply, Losses([{"type": "m4c_decoding_bce_with_mask"}]),
+        tx, update_frequency=1, meta=meta,
+    )
+    state = create_train_state(variables, tx, jax.random.PRNGKey(2))
+    state2, report = step(state, batch)
+
+    loss = float(jax.tree_util.tree_leaves(report["losses"])[0])
+    assert np.isfinite(loss) and loss > 0
+    # params actually moved, and text_bert moved LESS than mmt per unit
+    # gradient thanks to the 0.1 multiplier (sanity via any-change only)
+    moved = sum(
+        float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+            jax.tree_util.tree_leaves(state2.variables["params"]),
+            jax.tree_util.tree_leaves(state.variables["params"]),
+        )
+    )
+    assert moved > 0
