@@ -108,3 +108,31 @@ def test_mmbt_fused_train_step():
     _run_two_fused_steps(
         model, _mmbt_batch(direct=True), "cross_entropy", targets
     )
+
+
+def test_auto_update_frequency_policy():
+    """training.auto_update_frequency=true: the trainer splits the global
+    batch into the largest microbatch count keeping >=32 samples per
+    data-parallel device (the measured MXU sweet spot, BENCH_NOTES
+    'Train flag/batch sweep'); explicit update_frequency wins."""
+    from mmf_tpu.trainers.mmf_trainer import MMFTrainer
+
+    class _Mesh:
+        def __init__(self, data):
+            self.shape = {"data": data, "model": 1}
+
+    t = MMFTrainer.__new__(MMFTrainer)
+
+    def pick(batch_size, n_data=1):
+        t.mesh = _Mesh(n_data)
+        batch = {"x": jnp.zeros((batch_size, 4))}
+        return t._auto_update_frequency(batch)
+
+    assert pick(32) == 1          # already at the sweet spot
+    assert pick(64) == 2          # 2 x 32
+    assert pick(128) == 4         # 4 x 32
+    assert pick(256) == 8
+    assert pick(48) == 1          # 48/2=24 < 32 -> no split
+    assert pick(96) == 3          # 3 x 32
+    assert pick(256, n_data=4) == 2   # 256/4=64 per device -> 2 x 32
+    assert pick(128, n_data=8) == 1   # 16/device already < 32
