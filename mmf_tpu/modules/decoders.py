@@ -33,11 +33,21 @@ class LanguageDecoder(nn.Module):
 
         lstm = nn.OptimizedLSTMCell(self.hidden_dim, name="language_lstm")
         (c2, h2), _ = lstm((c2, h2), jnp.concatenate([weighted_attn, h1], axis=1))
-        predictions = nn.Dense(
-            self.out_dim,
-            bias_init=nn.initializers.constant(self.fc_bias_init),
+        # weight-normed like the reference (decoders.py:61,
+        # weight_norm(nn.Linear), dim=0 -> per-output scale): same
+        # OPTIMIZATION coordinates (g, v), so converted checkpoints don't
+        # just eval identically, they train identically (a plain Dense
+        # matches the forward but follows a different AdamW trajectory)
+        fc = nn.WeightNorm(
+            nn.Dense(
+                self.out_dim,
+                bias_init=nn.initializers.constant(self.fc_bias_init),
+            ),
+            variable_filter={"kernel"},
+            feature_axes=-1,
             name="fc",
-        )(nn.Dropout(self.dropout)(h2, deterministic))
+        )
+        predictions = fc(nn.Dropout(self.dropout)(h2, deterministic))
         new_state = dict(state)
         new_state["lm_hidden"] = (h2, c2)
         return predictions, new_state

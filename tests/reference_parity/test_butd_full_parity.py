@@ -192,12 +192,13 @@ def _convert(sd, jparams):
 
     lm = "classifier.module"
     put_lstm("step/language_decoder/language_lstm", f"{lm}.language_lstm")
-    # fc: weight-normed in the reference, plain Dense here -> materialize
-    g = sd[f"{lm}.fc.weight_g"].reshape(-1, 1)
-    v = sd[f"{lm}.fc.weight_v"]
-    w_eff = g * v / np.linalg.norm(v, axis=1, keepdims=True)
-    put("step/language_decoder/fc/kernel", np.ascontiguousarray(w_eff.T))
-    put("step/language_decoder/fc/bias", sd[f"{lm}.fc.bias"])
+    # fc: weight-normed on BOTH sides since round 5 (same optimization
+    # coordinates as the reference's weight_norm(Linear), dim=0)
+    put("step/language_decoder/Dense_0/kernel",
+        np.ascontiguousarray(sd[f"{lm}.fc.weight_v"].T))
+    put("step/language_decoder/Dense_0/bias", sd[f"{lm}.fc.bias"])
+    put("step/language_decoder/fc/Dense_0/kernel/scale",
+        sd[f"{lm}.fc.weight_g"].reshape(-1))
 
     return _unflatten_flax(flat)
 
@@ -248,4 +249,124 @@ def test_butd_greedy_rollout_parity(ref):
     # the argmax chains (the greedy captions) must agree exactly
     np.testing.assert_array_equal(
         j_scores.argmax(-1), t_scores.argmax(-1)
+    )
+
+
+def test_butd_trajectory_parity(ref):
+    """6 full AdamW updates through BUTD's teacher-forced LSTM stack
+    (TopDownAttentionLSTM + LanguageDecoder — the only recurrent
+    backward among the parity models) under caption_cross_entropy: the
+    per-step loss sequence must match the reference loop. A loss-
+    sequence match across updates pins the whole backward — any gradient
+    error feeds the next step's loss.
+
+    Two documented parametrization artifacts are modeled, not hidden:
+    torch LSTMs carry DUPLICATED biases (b_ih + b_hh, each receiving the
+    full preactivation gradient, so the combined bias moves twice per
+    step), while flax's OptimizedLSTMCell has one -- our side scales the
+    LSTM-bias updates by 2 to land on the same trajectory. wd=0 and no
+    clipping (the duplicated biases also inflate torch's global grad
+    norm; decay grouping and clipping are pinned by the other
+    trajectory tests)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from mmf.modules.losses import CaptionCrossEntropyLoss as RefCCE
+    from mmf_tpu.modules.losses import CaptionCrossEntropyLoss
+
+    torch.manual_seed(31)
+    tm = _build_ref(ref)
+    tm.train()
+    batch = _batch(with_text=True)
+    # teacher-forced targets: next-token ids, padded to scores' T dim
+    targets = np.concatenate(
+        [batch["text"][:, 1:], np.zeros((B, 1), np.int64)], axis=1
+    )
+
+    LR, EPS, WARMUP, TOTAL = 5e-3, 1e-8, 2, 6
+
+    sd0 = {
+        k: v.detach().numpy().copy() for k, v in tm.state_dict().items()
+    }
+
+    # ---- torch reference loop ----
+    topt = torch.optim.AdamW(
+        tm.parameters(), lr=LR, eps=EPS, weight_decay=0.0
+    )
+
+    def lr_lambda(step):
+        if step < WARMUP:
+            return step / max(1, WARMUP)
+        return max(0.0, (TOTAL - step) / max(1, TOTAL - WARMUP))
+
+    tsched = torch.optim.lr_scheduler.LambdaLR(topt, lr_lambda)
+    ref_loss = RefCCE()
+    t_losses = []
+    for _ in range(TOTAL):
+        topt.zero_grad()
+        sl = _ref_sample_list(batch)
+        sl.targets = torch.from_numpy(targets)
+        out = tm(sl)
+        loss = ref_loss(sl, out)
+        loss.backward()
+        topt.step()
+        tsched.step()
+        t_losses.append(float(loss.detach()))
+
+    # ---- ours ----
+    from mmf_tpu.modules.optimizers import build_optimizer_transform
+    from mmf_tpu.modules.schedulers import build_scheduler
+
+    config = {
+        "optimizer": {"type": "adam_w",
+                      "params": {"lr": LR, "eps": EPS,
+                                 "weight_decay": 0.0}},
+        "scheduler": {"type": "warmup_linear",
+                      "params": {"num_warmup_steps": WARMUP,
+                                 "num_training_steps": TOTAL}},
+        "training": {"max_updates": TOTAL, "lr_scheduler": True},
+    }
+    lstm_bias_x2 = {
+        f"step/{mod}/{gate}/bias": 2.0
+        for mod in ("top_down_attention/top_down_lstm",
+                    "language_decoder/language_lstm")
+        for gate in ("hi", "hf", "hg", "ho")
+    }
+    tx = build_optimizer_transform(
+        config, schedule_fn=build_scheduler(config),
+        lr_multipliers=lstm_bias_x2,
+    )
+
+    cfg = dict(MODEL_CFG, datasets="coco", text_vocab_size=V,
+               max_length=MAX_LEN)
+    model = registry.get_model_class("butd")(config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    params = _convert(sd0, variables["params"])
+
+    jloss = CaptionCrossEntropyLoss()
+    jbatch = {k: v for k, v in batch.items()}
+    jbatch["targets"] = jnp.asarray(targets)
+    jbatch["caption_len"] = jnp.asarray(batch["caption_len"])
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch, True)
+            return jloss(jbatch, out)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    opt_state = tx.init(params)
+    j_losses = []
+    for _ in range(TOTAL):
+        params, opt_state, loss = step(params, opt_state)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(j_losses), np.asarray(t_losses), rtol=2e-4,
+        err_msg=f"trajectories diverged:\n jax  {j_losses}\n torch {t_losses}",
     )
